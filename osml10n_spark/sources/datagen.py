@@ -1,0 +1,129 @@
+"""Deterministic synthetic image+caption table generator
+(BASELINE.json input_hint shape; FIXTURES.md F-A).
+
+Generation is DISTRIBUTED (mapInPandas over spark.range) and row-id
+deterministic: every row is derived from ``rng(seed, id)`` so the table
+is identical under any partitioning/parallelism — required for the
+two-parallelism scaling-equivalence evidence and resume tests.
+
+Placement mixes world-uniform points, clusters around the five
+reference boundaries (so the PiP path is exercised), and one dense
+urban cell (Tokyo) to create realistic cell skew for the salting/AQE
+machinery.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..imaging import encode_image, phash64
+
+__all__ = ["images_schema_ddl", "generate_images", "caption_for", "IMAGES_DDL"]
+
+IMAGES_DDL = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, lon double, lat double, "
+              "tags map<string,string>")
+
+
+def images_schema_ddl() -> str:
+    return IMAGES_DDL
+
+# caption corpora per class --------------------------------------------------
+_LATIN = ["Main Road", "Trafalgar Square", "Schillerstraße", "Kronenplatz",
+          "Mulholland Drive", "Avenue de la Gare", "Sabin Place", "London",
+          "Porto-Novo", "Lisboa", "Besançon", "München", "Oregon Expressway",
+          "Curtiss Parkway", "North 50th Street", "Route de Marly",
+          "Gottesauer Platz", "Promenade du Barrage"]
+_CYR = ["улица Воздвиженка", "Невский проспект", "Москва́",
+        "набережная реки Фонтанки", "вулиця Молока", "площа Ринок"]
+_CJK = ["東京", "北京", "漢字 100 abc", "香港", "鳳凰徑第3段", "緑台中",
+        "九龍", "澳門", "東京駅"]
+_THAI = ["ห้องสมุดประชาชน", "ถนนข้าวสาร", "วัด", "ตลาด", "บ้าน"]
+_BILINGUAL = [("Bolzano - Bozen", {"name:de": "Bozen", "name:it": "Bolzano"}),
+              ("Bruxelles - Brussel", {"name:de": "Brüssel", "name:fr": "Bruxelles"}),
+              ("Brixen - Bressanone", {"name:de": "Brixen", "name:it": "Bressanone"}),
+              ("Meran - Merano", {"name:de": "Meran", "name:it": "Merano"})]
+
+# (lon, lat, radius_deg) placement clusters
+_CJK_CLUSTERS = [(139.7, 35.7, 0.5), (114.17, 22.30, 0.02), (113.56, 22.18, 0.01),
+                 (121.0, 23.7, 0.5), (121.4, 31.2, 0.5), (100.5, 13.8, 0.5)]
+_URBAN = (139.70, 35.68, 0.05)       # dense Tokyo cell → deliberate skew
+
+
+def caption_for(rng: np.random.Generator) -> tuple[str, dict, float, float]:
+    """Pick (caption, tags, lon, lat) for one row."""
+    u = rng.random()
+    if u < 0.50:          # latin
+        cap = _LATIN[rng.integers(len(_LATIN))]
+        tags = {"name": cap}
+        if rng.random() < 0.3:
+            tags["name:de"] = cap
+        lon, lat = _place_world(rng)
+    elif u < 0.62:        # cyrillic
+        cap = _CYR[rng.integers(len(_CYR))]
+        tags = {"name": cap}
+        lon, lat = _place_world(rng)
+    elif u < 0.80:        # cjk near the boundary clusters
+        cap = _CJK[rng.integers(len(_CJK))]
+        tags = {"name": cap}
+        cx, cy, r = _CJK_CLUSTERS[rng.integers(len(_CJK_CLUSTERS))]
+        lon = cx + rng.normal(0, r)
+        lat = cy + rng.normal(0, r)
+    elif u < 0.87:        # thai
+        cap = _THAI[rng.integers(len(_THAI))]
+        tags = {"name": cap}
+        lon = 100.5 + rng.normal(0, 0.8)
+        lat = 14.0 + rng.normal(0, 0.8)
+    else:                 # bilingual combined
+        cap, extra = _BILINGUAL[rng.integers(len(_BILINGUAL))]
+        tags = {"name": cap, **extra}
+        lon, lat = _place_world(rng)
+    return cap, tags, float(np.clip(lon, -180, 180)), float(np.clip(lat, -90, 90))
+
+
+def _place_world(rng: np.random.Generator) -> tuple[float, float]:
+    if rng.random() < 0.25:           # skewed urban cell
+        cx, cy, r = _URBAN
+        return cx + rng.normal(0, r), cy + rng.normal(0, r)
+    return rng.uniform(-180, 180), rng.uniform(-60, 75)
+
+
+_FMTS = ["bmp", "raw", "jpegq"]
+
+
+def _gen_rows(ids: np.ndarray, seed: int, with_images: bool) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        rng = np.random.default_rng([seed, int(i)])
+        cap, tags, lon, lat = caption_for(rng)
+        if with_images:
+            w = int(rng.integers(8, 25))
+            h = int(rng.integers(8, 25))
+            fmt = _FMTS[int(rng.integers(3))]
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = encode_image(pix, fmt)
+            ph = phash64(pix)
+        else:
+            w = h = 0
+            fmt = "none"
+            data = b""
+            ph = 0
+        rows.append((f"img_{int(i):012d}", data, w, h, fmt, cap, ph, lon, lat, tags))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                       "caption", "phash", "lon", "lat", "tags"])
+
+
+def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
+                    partitions: int | None = None):
+    """Distributed deterministic generation of the input table."""
+    if partitions is None:
+        partitions = max(int(spark.sparkContext.defaultParallelism), 4)
+    rng_rows = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_rows(pdf["id"].to_numpy(), seed, with_images)
+
+    return rng_rows.mapInPandas(gen, schema=IMAGES_DDL)

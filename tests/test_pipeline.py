@@ -1,0 +1,91 @@
+"""End-to-end pipeline tests through Spark: cascade parity between the
+pure kernels and the DataFrame path, payload integrity (PSNR + caption
+byte-equality), and determinism across parallelism.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osml10n_spark.engine.localize import localize
+from osml10n_spark.imaging import decode_image, phash64, psnr
+from osml10n_spark.kernels import get_placename_from_tags
+from osml10n_spark.sources.datagen import generate_images
+
+N = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = generate_images(spark, N, seed=SEED).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_localize_matches_pure_kernels(spark, images):
+    out = localize(images, "de").select("image_id", "caption", "tags",
+                                        "lon", "lat", "caption_l10n")
+    rows = out.collect()
+    assert len(rows) == N
+    mismatches = []
+    for r in rows:
+        exp = get_placename_from_tags(r.image_id, dict(r.tags), False, "\n",
+                                      "de", [r.lon, r.lat, r.lon, r.lat])
+        if exp != r.caption_l10n:
+            mismatches.append((r.caption, r.caption_l10n, exp))
+    assert not mismatches, mismatches[:5]
+
+
+def test_localize_fast_path_equals_slow_path(spark, images):
+    fast = localize(images, "de", fast_path=True, add_cells=False) \
+        .select("image_id", "caption_l10n").collect()
+    slow = localize(images, "de", fast_path=False, add_cells=False) \
+        .select("image_id", "caption_l10n").collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_payload_integrity(spark, images):
+    out = localize(images, "en").select("image_id", "bytes", "w", "h", "fmt",
+                                        "caption", "phash").collect()
+    src = {r.image_id: r for r in images.collect()}
+    for r in out:
+        s = src[r.image_id]
+        assert r.caption == s.caption                    # byte equality
+        assert bytes(r.bytes) == bytes(s.bytes)
+        pix = decode_image(bytes(r.bytes), r.fmt)
+        assert pix.shape == (r.h, r.w, 3)
+        assert phash64(pix) == r.phash or r.fmt == "jpegq"
+
+
+def test_jpegq_psnr_above_40db():
+    rng = np.random.default_rng(1)
+    from osml10n_spark.imaging import encode_image
+    for _ in range(20):
+        pix = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        dec = decode_image(encode_image(pix, "jpegq"), "jpegq")
+        assert psnr(pix, dec) >= 40.0
+    for fmt in ("bmp", "raw"):
+        pix = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        assert (decode_image(encode_image(pix, fmt), fmt) == pix).all()
+
+
+def test_determinism_across_parallelism(spark):
+    a = generate_images(spark, 200, seed=7, with_images=False, partitions=2)
+    b = generate_images(spark, 200, seed=7, with_images=False, partitions=13)
+    ra = localize(a, "de", add_cells=True).select(
+        "image_id", "caption_l10n", "cell_id", "tile_id").collect()
+    rb = localize(b, "de", add_cells=True).select(
+        "image_id", "caption_l10n", "cell_id", "tile_id").collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+
+def test_cells_and_tiles_populated(spark, images):
+    out = localize(images, "en")
+    row = out.agg(F.countDistinct("cell_id").alias("cells"),
+                  F.countDistinct("tile_id").alias("tiles"),
+                  F.sum(F.when(F.col("caption_l10n") == "", 1).otherwise(0))
+                  .alias("empties")).collect()[0]
+    assert row.cells > 10
+    assert row.tiles > 10
+    assert row.empties == 0
