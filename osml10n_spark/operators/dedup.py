@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take/return DataFrames and are built from JVM expressions
+wherever possible (md5/xxhash64/regexp are whole-stage-codegen native);
+hashing choices are deliberately SQL-portable so the DuckDB oracle can
+replicate them bit-for-bit (md5 exists in both engines with identical
+output; Spark's xxhash64/hash do NOT exist in DuckDB and are only used
+in non-oracle paths).
+
+- exact_dedup:        md5(normalized text) group-by, keep min id
+- minhash_signature:  k-shingles → per-band min of md5-derived 64-bit
+                      integers → LSH band buckets
+- minhash_dup_pairs:  band-bucket equi-join → candidate pairs →
+                      verified n-gram Jaccard
+- simhash64:          64-bit sign-aggregated token hash + hamming pairs
+- embedding_dups:     cosine-similarity near-dup pairs over embeddings
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "normalize_text", "exact_dedup", "shingles", "minhash_signature",
+    "minhash_dup_pairs", "ngram_jaccard_pairs", "simhash64",
+    "simhash_dup_pairs", "embedding_dups",
+]
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — the canonical dedup key basis."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text; keeps the
+    minimum id as the canonical representative (deterministic)."""
+    keyed = df.select(F.col(id_col).alias("doc_id"),
+                      F.md5(normalize_text(F.col(text_col))).alias("dup_key"))
+    return (keyed.groupBy("dup_key")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("group_size"))
+            .filter(F.col("group_size") > 1))
+
+
+def shingles(col, n: int = 5):
+    """Character n-gram shingle array of the normalized text (unique,
+    sorted).  Expressible in DuckDB via generate_series + substr."""
+    norm = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_sort(F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, n))))
+
+
+def _shingle_hash(sh_col, seed: int):
+    """Portable shingle hash: md5(seed || '|' || shingle) as a hex
+    string — byte-identical in Spark and DuckDB, and lexicographic min
+    over hex strings is a valid minhash (uniform order-preserving)."""
+    return F.md5(F.concat(F.lit(str(seed) + "|"), sh_col))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, bands: int = 8) -> DataFrame:
+    """One minhash value per band: lexicographic min over shingles of a
+    seeded md5 hex hash.  Returns (doc_id, band, minhash)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   shingles(F.col(text_col), n).alias("sh"))
+    per_band = []
+    for b in range(bands):
+        per_band.append(F.struct(
+            F.lit(b).alias("band"),
+            F.array_min(F.transform(F.col("sh"),
+                                    lambda s, b=b: _shingle_hash(s, b)))
+            .alias("minhash")))
+    return (sh.select("doc_id", F.explode(F.array(*per_band)).alias("bm"))
+            .select("doc_id", F.col("bm.band").alias("band"),
+                    F.col("bm.minhash").alias("minhash")))
+
+
+def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, bands: int = 8,
+                      min_band_matches: int = 2,
+                      jaccard_threshold: float = 0.6) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    Scale shape: the (band, minhash) bucket join is an equi-join (one
+    shuffle on the bucket key); only candidate pairs pay the exact
+    verification.  Returns (a_id, b_id, band_matches, jaccard).
+    """
+    sig = minhash_signature(df, id_col, text_col, n, bands)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.minhash") == F.col("b.minhash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("band_matches"))
+            .filter(F.col("band_matches") >= min_band_matches))
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   shingles(F.col(text_col), n).alias("sh"))
+    withs = (cand
+             .join(sh.withColumnRenamed("doc_id", "a_id")
+                     .withColumnRenamed("sh", "a_sh"), "a_id")
+             .join(sh.withColumnRenamed("doc_id", "b_id")
+                     .withColumnRenamed("sh", "b_sh"), "b_id"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    return (withs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("a_id", "b_id", "band_matches", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        block_col=None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.  Without a blocking
+    column this is quadratic — callers at scale pass ``block_col``
+    (e.g. a length bucket or LSH band) to bound the join."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   shingles(F.col(text_col), n).alias("sh"),
+                   *( [block_col.alias("blk")] if block_col is not None else []))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (a.join(b, cond)
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of ±1 contributions from xxhash64(token).  Returns (doc_id, simhash)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.split(normalize_text(F.col(text_col)), " "))
+                     .alias("tok"))
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    bits = [F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"b{b}") for b in range(64)]
+    agg = h.groupBy("doc_id").agg(*bits)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(F.when(F.col(f"b{b}") > 0,
+                                   F.shiftleft(F.lit(1).cast("long"), b))
+                            .otherwise(F.lit(0).cast("long")))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded: split the 64
+    bits into 4 16-bit bands — any pair within hamming ≤3 shares at
+    least one exact band (pigeonhole), so the join is an equi-join."""
+    sig = simhash64(df, id_col, text_col)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
+            for i in range(4)])).alias("bb")) \
+        .select("doc_id", "simhash", "bb.band", "bb.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"),
+                     F.col("a.simhash").alias("a_sim"),
+                     F.col("b.simhash").alias("b_sim"))
+             .distinct())
+    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return pairs.withColumn("hamming", ham) \
+        .filter(F.col("hamming") <= max_hamming) \
+        .select("a_id", "b_id", "hamming")
+
+
+def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force; at scale feed LSH
+    buckets as blocking).  Returns (a_id, b_id, cosine)."""
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0),
+                                  lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    v = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")) \
+        .withColumn("nrm", norm(F.col("vec")))
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.vec"), F.col("b.vec"),
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"), "cosine"))

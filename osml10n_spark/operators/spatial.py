@@ -1,0 +1,173 @@
+"""Spatial DataFrame operators: country assignment (broadcast PiP),
+cell/tile assignment, kNN join with k-ring expansion + exact refine,
+and skew-aware helpers.
+
+All operators are DataFrame→DataFrame, shuffle-conscious:
+
+- assign_country / assign_cells / assign_tiles are map-side only (no
+  shuffle): the polygon index is per-executor broadcast state.
+- knn_geo (brute-force) exists as the small-side baseline and oracle;
+  knn_cells is the scale path — equi-join on k-ring cell ids, exact
+  distance refinement, window top-k, iterative ring growth only for
+  queries whose k-th candidate isn't yet provably correct.
+- cell_histogram + salted_key implement heavy-cell detection/salting
+  for skewed spatial data (dense urban cells), complementing AQE.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..udfs import udf_cell_id, udf_country_gated, udf_country_lookup, udf_tile_id
+
+__all__ = [
+    "assign_country", "assign_cells", "assign_tiles",
+    "knn_geo", "knn_cells", "cell_histogram", "salted_key",
+]
+
+
+def assign_country(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
+                   out_col: str = "cc", gate_name_col: str | None = None) -> DataFrame:
+    """Broadcast point-in-polygon country join (J1).  With
+    ``gate_name_col`` the daemon's CJK/Thai charset gate prunes the
+    geometry work (P7 filter-before-join)."""
+    if gate_name_col is not None:
+        return df.withColumn(out_col, udf_country_gated(
+            F.col(gate_name_col), F.col(lon_col), F.col(lat_col)))
+    return df.withColumn(out_col, udf_country_lookup(F.col(lon_col), F.col(lat_col)))
+
+
+def assign_cells(df: DataFrame, res: int = 9, lon_col: str = "lon",
+                 lat_col: str = "lat", out_col: str = "cell_id") -> DataFrame:
+    return df.withColumn(out_col, udf_cell_id(F.col(lon_col), F.col(lat_col), res))
+
+
+def assign_tiles(df: DataFrame, z: int = 8, maxz: int = 16, lon_col: str = "lon",
+                 lat_col: str = "lat", out_col: str = "tile_id") -> DataFrame:
+    return df.withColumn(out_col, udf_tile_id(F.col(lon_col), F.col(lat_col), z, maxz))
+
+
+def _sq_dist(qlon, qlat, ilon, ilat):
+    """Squared euclidean in degrees — deterministic FP, matches the
+    DuckDB oracle expression exactly (no sqrt)."""
+    return (qlon - ilon) * (qlon - ilon) + (qlat - ilat) * (qlat - ilat)
+
+
+def knn_geo(queries: DataFrame, items: DataFrame, k: int,
+            qid_col: str = "qid", iid_col: str = "iid",
+            broadcast_items: bool = True) -> DataFrame:
+    """Brute-force top-k nearest items per query point.
+
+    Correct for any input; intended for small/broadcastable item sides
+    and as the oracle for knn_cells.  Output: (qid, iid, dist2, rank).
+    """
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"))
+    i = items.select(F.col(iid_col).alias("iid"),
+                     F.col("lon").alias("i_lon"), F.col("lat").alias("i_lat"))
+    if broadcast_items:
+        i = F.broadcast(i)
+    joined = q.crossJoin(i).withColumn(
+        "dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
+                          F.col("i_lon"), F.col("i_lat")))
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("iid").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "iid", "dist2", "rank"))
+
+
+def knn_cells(queries: DataFrame, items: DataFrame, k: int,
+              res: int = 7, qid_col: str = "qid", iid_col: str = "iid",
+              max_rounds: int = 5) -> DataFrame:
+    """Scalable kNN: k-ring candidate equi-join + exact refine (J5/W5).
+
+    Round r joins queries against items in cells within Chebyshev ring
+    radius 2^r of the query cell.  A query is DONE when it has ≥k
+    candidates and its k-th squared distance ≤ (ring·cellsize)² — items
+    outside the ring are provably farther.  Unresolved queries advance
+    to the next round; at ``max_rounds`` results are taken as-is
+    (world-spanning fallback: brute force the stragglers).
+
+    Equi-join on cell ids shuffles by cell — co-located, broadcast-free,
+    skew handled by AQE.  Output: (qid, iid, dist2, rank).
+    """
+    from ..spatial.cellindex import _grid_shape  # noqa: the cell size
+
+    cell_h = 180.0 / (2 ** res)                   # cell size in degrees
+
+    items_c = assign_cells(items, res).select(
+        F.col(iid_col).alias("iid"), F.col("lon").alias("i_lon"),
+        F.col("lat").alias("i_lat"), F.col("cell_id").alias("i_cell"))
+    items_c = items_c.persist()
+
+    pending = assign_cells(queries, res).select(
+        F.col(qid_col).alias("qid"), F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"), F.col("cell_id").alias("q_cell"))
+
+    results = None
+    ring = 1
+    for rnd in range(max_rounds):
+        ring_cells = _ring_cells_df(pending, ring)
+        cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
+                .withColumn("dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
+                                              F.col("i_lon"), F.col("i_lat"))))
+        w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
+                                              F.col("iid").asc())
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+        # a query is proven-complete when its worst kept distance fits
+        # inside the guaranteed ring radius
+        guard = (ring * cell_h) ** 2
+        stats = topk.groupBy("qid").agg(F.count("*").alias("n"),
+                                        F.max("dist2").alias("kth"))
+        done_q = stats.filter((F.col("n") >= k) & (F.col("kth") <= F.lit(guard))) \
+            .select("qid")
+        done_rows = topk.join(F.broadcast(done_q), "qid") \
+            .select("qid", "iid", "dist2", "rank")
+        results = done_rows if results is None else results.unionByName(done_rows)
+        pending = pending.join(F.broadcast(done_q), "qid", "left_anti")
+        if pending.isEmpty():
+            break
+        ring *= 2
+    else:
+        pending = pending.persist()
+    if not pending.isEmpty():
+        # stragglers (sparse regions): brute-force against all items
+        leftovers = knn_geo(
+            pending.select(F.col("qid"), F.col("q_lon").alias("lon"),
+                           F.col("q_lat").alias("lat")),
+            items_c.select(F.col("iid"), F.col("i_lon").alias("lon"),
+                           F.col("i_lat").alias("lat")),
+            k, qid_col="qid", iid_col="iid", broadcast_items=False)
+        results = leftovers if results is None else results.unionByName(leftovers)
+    return results
+
+
+def _ring_cells_df(pending: DataFrame, ring: int) -> DataFrame:
+    """Explode each pending query into its k-ring neighbor cell ids."""
+    from ..spatial.cellindex import k_ring
+
+    @pandas_udf(ArrayType(LongType()))
+    def ring_udf(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: [int(x) for x in k_ring(int(c), ring)])
+
+    return (pending.withColumn("n_cell", F.explode(ring_udf(F.col("q_cell"))))
+            .select("qid", "q_lon", "q_lat", "n_cell"))
+
+
+def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
+    """Heavy-cell detection feeding the salting decision (SURVEY.md §4)."""
+    return df.groupBy(cell_col).agg(F.count("*").alias("n_rows")) \
+        .orderBy(F.col("n_rows").desc())
+
+
+def salted_key(df: DataFrame, key_col: str, buckets: int,
+               out_col: str = "salted_key") -> DataFrame:
+    """Deterministic salt derived from a stable row hash — spreads a hot
+    key over ``buckets`` shuffle partitions (explode the dim side by the
+    same factor to join)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    return df.withColumn(out_col, F.concat_ws("#", F.col(key_col).cast("string"),
+                                              salt.cast("string")))

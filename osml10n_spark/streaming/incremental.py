@@ -1,0 +1,54 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.9).
+
+The reference daemon is a stateless request/response server; the
+engine's equivalent incremental surface is a ``foreachBatch`` loop that
+runs the same batch localization over each micro-batch and commits a
+snapshot per epoch — exactly-once via the snapshot manifest (replayed
+epochs skip completed partitions).
+
+``localize_stream`` wires any streaming DataFrame with the input-table
+schema into the pipeline; ``windowed_cell_counts`` demonstrates the
+watermark + tumbling-window aggregation path on an event-time column.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..engine.localize import localize
+from ..engine.snapshots import SnapshotStore
+
+__all__ = ["localize_stream", "windowed_cell_counts"]
+
+
+def localize_stream(stream_df: DataFrame, store_root: str,
+                    target_lang: str = "en", checkpoint_dir: str | None = None):
+    """Start a foreachBatch streaming query running the localization
+    pipeline per micro-batch with snapshot commits."""
+    from ..engine.job import add_cell_prefix
+
+    store = SnapshotStore(store_root)
+
+    def process(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        staged = add_cell_prefix(batch_df)
+        out = localize(staged, target_lang)
+        keys = [r.cell_prefix for r in
+                staged.select("cell_prefix").distinct().collect()]
+        store.commit(out, keys, metrics={"epoch": epoch_id})
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def windowed_cell_counts(stream_df: DataFrame, ts_col: str = "ts",
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window per-cell activity counts (late data
+    beyond the watermark is dropped)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), F.col("cell_id"))
+            .agg(F.count(F.lit(1)).alias("n_events")))

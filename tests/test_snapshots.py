@@ -1,0 +1,95 @@
+"""Snapshot/resume + streaming tests: kill-after-snapshot resume
+produces the identical final table with no duplicates (north_rule)."""
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osml10n_spark.engine.job import add_cell_prefix, run_localization_job
+from osml10n_spark.engine.snapshots import SnapshotStore
+from osml10n_spark.sources.datagen import generate_images
+
+N = 300
+
+
+def _final_table(spark, root):
+    return SnapshotStore(root).committed_output(spark) \
+        .select("image_id", "caption_l10n", "cell_id", "tile_id")
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    images = generate_images(spark, N, seed=11, with_images=False).cache()
+    images.count()
+
+    # full run in one go → the reference output
+    full_root = str(tmp_path / "full")
+    run_localization_job(spark, images, full_root, "de", groups_per_commit=100)
+    expected = sorted(map(tuple, _final_table(spark, full_root).collect()))
+
+    # partial run "killed" after 2 commits, then resumed
+    part_root = str(tmp_path / "partial")
+    r1 = run_localization_job(spark, images, part_root, "de",
+                              groups_per_commit=2, max_commits=2)
+    assert len(r1["snapshots"]) == 2
+    r2 = run_localization_job(spark, images, part_root, "de",
+                              groups_per_commit=2)
+    assert r2["resumed_from"] > 0
+    got = sorted(map(tuple, _final_table(spark, part_root).collect()))
+    assert got == expected
+
+    # no duplicates
+    final = _final_table(spark, part_root)
+    assert final.count() == final.select("image_id").distinct().count() == N
+
+    # idempotent re-run: nothing left to do
+    r3 = run_localization_job(spark, images, part_root, "de")
+    assert r3["snapshots"] == []
+    images.unpersist()
+
+
+def test_manifest_metrics_and_lineage(spark, tmp_path):
+    images = generate_images(spark, 120, seed=13, with_images=False)
+    root = str(tmp_path / "m")
+    run_localization_job(spark, images, root, "en", groups_per_commit=100)
+    store = SnapshotStore(root)
+    man = store.last_snapshot()
+    assert man["row_count"] == 120
+    assert man["metrics"]["rows"] == 120
+    assert man["metrics"]["empty_out"] == 0
+    lineage_files = glob.glob(os.path.join(root, "lineage", "*", "*.parquet"))
+    assert lineage_files
+    lin = spark.read.parquet(os.path.join(root, "lineage", man["snapshot_id"]))
+    assert lin.agg(F.sum("rows_out")).collect()[0][0] == 120
+
+
+def test_row_level_pending(spark, tmp_path):
+    images = generate_images(spark, 80, seed=17, with_images=False)
+    root = str(tmp_path / "rl")
+    run_localization_job(spark, images, root, "en", groups_per_commit=2,
+                         max_commits=1)
+    store = SnapshotStore(root)
+    staged = add_cell_prefix(images)
+    pend = store.pending(staged, row_level=True, spark=spark)
+    done_rows = store.committed_output(spark).count()
+    assert pend.count() == 80 - done_rows
+
+
+def test_streaming_foreachbatch(spark, tmp_path):
+    from osml10n_spark.streaming.incremental import localize_stream
+
+    src_dir = str(tmp_path / "in")
+    images = generate_images(spark, 60, seed=19, with_images=False)
+    images.write.parquet(src_dir)
+    stream = (spark.readStream.schema(images.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    root = str(tmp_path / "snap")
+    q = localize_stream(stream, root, "de",
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = SnapshotStore(root).committed_output(spark)
+    assert out.count() == 60
+    assert out.filter(F.col("caption_l10n") == "").count() == 0
