@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timed sections measure the ENGINE (read parquet → operators → action);
+synthetic-input staging happens once outside the timers.  The scaling
+evidence (north_rule: ≥0.8 efficiency from N to 4N executors; sandbox
+proxy local[8] vs local[32]) runs the flagship pipeline in fresh
+subprocess JVMs so each parallelism level gets a cold, fair session.
+
+Usage:
+  python bench.py                 # full suite + scaling, one JSON line
+  python bench.py --worker-cores N --staged DIR   # internal: one timed
+                                                  # flagship run
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 1_500_000          # flagship table rows at sf=1.0
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _stage(spark, staged_dir: str, n: int) -> None:
+    from osml10n_spark.sources.datagen import generate_images
+    if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+        return
+    generate_images(spark, n, seed=42, with_images=False) \
+        .write.mode("overwrite").parquet(staged_dir)
+
+
+def _run_flagship(spark, staged_dir: str) -> tuple[float, int]:
+    """The metric pipeline: read → localize (cascade + spatial join) →
+    cell/tile assignment → full materialization."""
+    from pyspark.sql import functions as F
+    from osml10n_spark.engine.localize import localize
+    df = spark.read.parquet(staged_dir)
+    t0 = time.time()
+    out = localize(df, "de")
+    row = out.agg(F.count("*").alias("n"),
+                  F.sum(F.length("caption_l10n")).alias("chars"),
+                  F.sum("cell_id").alias("cs"),
+                  F.sum("tile_id").alias("ts")).collect()[0]
+    return time.time() - t0, int(row.n)
+
+
+def worker_main(cores: int, staged: str) -> None:
+    from osml10n_spark.engine.session import build_session
+    spark = build_session(app_name=f"bench-w{cores}", cores=cores)
+    sec, n = _run_flagship(spark, staged)
+    print(json.dumps({"cores": cores, "sec": sec, "rows": n,
+                      "rps": n / sec}), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from osml10n_spark.engine.session import build_session
+    from osml10n_spark.operators.dedup import exact_dedup, minhash_signature
+    from osml10n_spark.operators.spatial import (assign_cells, assign_country,
+                                                 assign_tiles, knn_cells)
+
+    sf = _sf_from_dir(SF_DIR)
+    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+    staged = f"/tmp/osml10n_bench_sf{sf}"
+
+    spark = build_session(app_name="bench", cores=CPUS)
+    _stage(spark, staged, n_rows)
+
+    timings: dict[str, float] = {}
+
+    # flagship: localization + spatial + tiles (the BASELINE metric)
+    sec, n = _run_flagship(spark, staged)
+    timings["q_localize_pipeline"] = round(sec, 3)
+    flagship_rps = n / sec
+
+    images = spark.read.parquet(staged)
+
+    t0 = time.time()
+    assign_country(images, gate_name_col="caption") \
+        .groupBy("cc").count().collect()
+    timings["q_spatial_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assign_tiles(images, z=8, maxz=16).groupBy("tile_id").count().count()
+    timings["q_tile_assign"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assign_cells(images, res=9).groupBy("cell_id").count() \
+        .orderBy(F.col("count").desc()).limit(20).collect()
+    timings["q_cell_histogram"] = round(time.time() - t0, 3)
+
+    queries = images.filter(F.col("lat").between(-60, 75)).limit(1000) \
+        .select(F.col("image_id").alias("qid"), "lon", "lat")
+    t0 = time.time()
+    knn_cells(queries, images.select(F.col("image_id").alias("iid"),
+                                     "lon", "lat"),
+              k=5, res=7, qid_col="qid", iid_col="iid").count()
+    timings["q_knn_cells"] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    minhash_signature(docs, "doc_id", "text", n=5, bands=4).count()
+    timings["q_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    exact_dedup(docs.unionAll(docs.limit(50)), "doc_id", "text").count()
+    timings["q_exact_dedup"] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # scaling evidence: cold JVM per parallelism level
+    scaling = {}
+    for cores in (max(CPUS // 4, 2), CPUS):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker-cores", str(cores),
+             "--staged", staged],
+            capture_output=True, text=True, timeout=1800)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        scaling[f"local[{cores}]"] = json.loads(line)
+    lo, hi = sorted(scaling.values(), key=lambda d: d["cores"])
+    eff = (hi["rps"] / lo["rps"]) / (hi["cores"] / lo["cores"])
+
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment + localization "
+                  "throughput (rows/sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": n_rows,
+        "flagship_rows_per_sec": round(flagship_rps, 1),
+        "scaling": {
+            "low": {"cores": lo["cores"], "rows_per_sec": round(lo["rps"], 1)},
+            "high": {"cores": hi["cores"], "rows_per_sec": round(hi["rps"], 1)},
+            "efficiency": round(eff, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker-cores", type=int)
+    ap.add_argument("--staged", type=str)
+    args = ap.parse_args()
+    if args.worker_cores:
+        worker_main(args.worker_cores, args.staged)
+    else:
+        main()

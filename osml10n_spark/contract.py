@@ -1,0 +1,599 @@
+"""Driver-contract queries + DuckDB oracle SQL (consumed by
+__spark_entry__.py).
+
+Every entry pairs one engine operator (SURVEY.md §2) with an
+ANSI-SQL re-derivation DuckDB can run on the same parquet tables.
+Column names and value derivations are kept bit-identical on both
+sides (deterministic point/rect synthesis from integer keys, exact
+decimal aggregation before double casts, floor-truncation instead of
+round, md5-based portable hashing).  Queries whose Spark side runs
+engine UDFs with no SQL equivalent (full localization cascade, simhash
+xxhash64, LSH ANN) have no oracle → the driver records the weaker
+rows-only check.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators.dedup import (exact_dedup, minhash_dup_pairs,
+                              minhash_signature, simhash_dup_pairs)
+from .operators.similarity import cosine_topk, lsh_topk
+from .operators.spatial import (assign_cells, cell_histogram, knn_cells,
+                                pip_join_rects)
+from .operators.textops import (add_script_flags, fingerprint, lang_id,
+                                quality_score, token_count)
+from .udfs import udf_street_abbrev, udf_tile_id, udf_unaccent
+
+# ------------------------------------------------------------------ helpers
+
+RE_NON_LATIN_SPARK = "[^\\x00-\\u024F]"
+RE_NON_LATIN_DUCK = r"[^\x{0000}-\x{024F}]"
+RE_CJK_DUCK = r"[\x{4E01}-\x{9FFE}]"
+RE_CYR_DUCK = r"[\x{0401}-\x{04FE}]"
+RE_THAI_DUCK = r"[\x{0E01}-\x{0E7E}]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark, sf_dir):
+    """Deterministic synthetic points from customer keys — identical
+    expression text on the SQL side."""
+    return _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "((c_custkey * 37) % 360) - 180 + 0.5 AS lon",
+        "((c_custkey * 7) % 160) - 80 + 0.5 AS lat")
+
+
+_PTS_SQL = ("SELECT c_custkey AS id, "
+            "((c_custkey * 37) % 360) - 180 + 0.5 AS lon, "
+            "((c_custkey * 7) % 160) - 80 + 0.5 AS lat FROM customer")
+
+# Morton spread chain (shared by tile/cell oracles); x must be < 2^32.
+_M1, _M2, _M3 = 281470681808895, 71777214294589695, 1085102592571150095
+_M4, _M5 = 3689348814741910323, 6148914691236517205
+
+
+def _spread_sql(steps_src: str, xin: str, yin: str) -> str:
+    """CTE chain computing morton from integer columns xin/yin of
+    ``steps_src`` (must expose them)."""
+    return f"""
+s1 AS (SELECT *, ({xin} | ({xin} << 16)) & {_M1} AS sx1,
+                ({yin} | ({yin} << 16)) & {_M1} AS sy1 FROM {steps_src}),
+s2 AS (SELECT *, (sx1 | (sx1 << 8)) & {_M2} AS sx2,
+                (sy1 | (sy1 << 8)) & {_M2} AS sy2 FROM s1),
+s3 AS (SELECT *, (sx2 | (sx2 << 4)) & {_M3} AS sx3,
+                (sy2 | (sy2 << 4)) & {_M3} AS sy3 FROM s2),
+s4 AS (SELECT *, (sx3 | (sx3 << 2)) & {_M4} AS sx4,
+                (sy3 | (sy3 << 2)) & {_M4} AS sy4 FROM s3),
+s5 AS (SELECT *, ((sx4 | (sx4 << 1)) & {_M5})
+               | (((sy4 | (sy4 << 1)) & {_M5}) << 1) AS morton FROM s4)"""
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------------------ queries
+
+def q_cascade(spark, sf_dir):
+    """W3/J3: localization priority cascade as a pure column plan."""
+    n = _t(spark, sf_dir, "nation")
+    name_de = F.when(F.col("n_nationkey") % 3 == 0,
+                     F.concat(F.lit("Deutsch "), F.col("n_name")))
+    gen_name = F.when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.lit("Кириллица "), F.col("n_name"))) \
+        .otherwise(F.col("n_name"))
+    int_name = F.when(F.col("n_nationkey") % 5 == 2,
+                      F.concat(F.lit("Intl "), F.col("n_name")))
+    name_en = F.when(F.col("n_nationkey") % 2 == 0,
+                     F.concat(F.lit("English "), F.col("n_name")))
+    latin = lambda c: F.when(~c.rlike(RE_NON_LATIN_SPARK), c)
+    cascade = F.coalesce(name_de, latin(gen_name), latin(int_name),
+                         name_en, gen_name)
+    return n.select(F.col("n_nationkey").alias("id"),
+                    cascade.alias("caption_l10n")).orderBy("id")
+
+
+Q_CASCADE_SQL = f"""
+WITH v AS (
+  SELECT n_nationkey AS id,
+    CASE WHEN n_nationkey % 3 = 0 THEN 'Deutsch ' || n_name END AS name_de,
+    CASE WHEN n_nationkey % 4 = 1 THEN 'Кириллица ' || n_name ELSE n_name END AS gen_name,
+    CASE WHEN n_nationkey % 5 = 2 THEN 'Intl ' || n_name END AS int_name,
+    CASE WHEN n_nationkey % 2 = 0 THEN 'English ' || n_name END AS name_en
+  FROM nation)
+SELECT id, COALESCE(name_de,
+   CASE WHEN NOT regexp_matches(gen_name, '{RE_NON_LATIN_DUCK}') THEN gen_name END,
+   CASE WHEN NOT regexp_matches(int_name, '{RE_NON_LATIN_DUCK}') THEN int_name END,
+   name_en, gen_name) AS caption_l10n
+FROM v ORDER BY id
+"""
+
+
+def q_script_flags(spark, sf_dir):
+    """P1-P4 script classifiers as JVM predicates."""
+    d = _t(spark, sf_dir, "documents")
+    return add_script_flags(d).select("doc_id", "is_latin", "has_cjk",
+                                      "has_cyrillic", "has_thai")
+
+
+Q_SCRIPT_FLAGS_SQL = f"""
+SELECT doc_id,
+  NOT regexp_matches(text, '{RE_NON_LATIN_DUCK}') AS is_latin,
+  regexp_matches(text, '{RE_CJK_DUCK}') AS has_cjk,
+  regexp_matches(text, '{RE_CYR_DUCK}') AS has_cyrillic,
+  regexp_matches(text, '{RE_THAI_DUCK}') AS has_thai
+FROM documents
+"""
+
+
+def q_lang_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(lang_id(F.col("text")).alias("lid"))
+            .groupBy("lid").agg(F.count("*").alias("n")))
+
+
+Q_LANG_PROFILE_SQL = f"""
+WITH h AS (SELECT text,
+  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|straße|platz)\\b')) AS de_h,
+  len(regexp_extract_all(lower(text), '\\b(le|la|les|rue|avenue|de la)\\b')) AS fr_h,
+  len(regexp_extract_all(lower(text), '\\b(the|street|road|of|and)\\b')) AS en_h
+  FROM documents)
+SELECT CASE
+  WHEN regexp_matches(text, '{RE_CJK_DUCK}') THEN 'cjk'
+  WHEN regexp_matches(text, '{RE_THAI_DUCK}') THEN 'th'
+  WHEN regexp_matches(text, '{RE_CYR_DUCK}') THEN 'cyrillic'
+  WHEN regexp_matches(text, '{RE_NON_LATIN_DUCK}') THEN 'other'
+  WHEN de_h > fr_h AND de_h > en_h THEN 'de'
+  WHEN fr_h > en_h THEN 'fr'
+  WHEN en_h > 0 THEN 'en'
+  ELSE 'latin' END AS lid, COUNT(*) AS n
+FROM h GROUP BY 1
+"""
+
+
+def q_quality_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = token_count(F.col("text"))
+    return d.select("doc_id",
+                    tok.getField("words").alias("words"),
+                    tok.getField("subwords").alias("subwords"),
+                    quality_score(F.col("text")).alias("quality"),
+                    fingerprint(F.col("text")).alias("fp"))
+
+
+Q_QUALITY_TOKENS_SQL = rf"""
+WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM documents),
+m AS (SELECT doc_id, t,
+  CAST(length(text) AS DOUBLE) AS ln,
+  CAST(length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS DOUBLE) AS alpha,
+  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit
+  FROM n),
+s AS (SELECT doc_id, t,
+  LEAST(ln / 200.0, 1.0) AS len_score,
+  CASE WHEN ln > 0 THEN alpha / ln ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN ln > 0 THEN LEAST(punct / ln * 4.0, 1.0) ELSE 0.0 END AS punct_pen,
+  CASE WHEN ln > 0 THEN LEAST(digit / ln * 2.0, 1.0) ELSE 0.0 END AS digit_pen
+  FROM m)
+SELECT doc_id,
+  CAST(CASE WHEN length(t) = 0 THEN 0
+       ELSE array_length(string_split(t, ' ')) END AS BIGINT) AS words,
+  CAST(ceil(length(t) / 4.0) AS BIGINT) AS subwords,
+  floor((0.3 * len_score + 0.5 * alpha_ratio
+         + 0.2 * (1.0 - punct_pen) * (1.0 - digit_pen)) * 1000000.0)
+    / 1000000.0 AS quality,
+  substr(md5(t), 1, 16) AS fp
+FROM s
+"""
+
+
+def q_unaccent(spark, sf_dir):
+    """F1 unaccent kernel vs DuckDB strip_accents (same decomposition
+    semantics on latin corpora; ß preserved on both sides)."""
+    n = _t(spark, sf_dir, "nation")
+    corpus = F.concat(F.lit("Besançon-München-"), F.col("n_name"))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_unaccent(corpus).alias("unaccented"))
+
+
+Q_UNACCENT_SQL = """
+SELECT n_nationkey AS id,
+       strip_accents('Besançon-München-' || n_name) AS unaccented
+FROM nation
+"""
+
+
+def q_abbrev_ru(spark, sf_dir):
+    """F6 russian street abbreviation (sequential literal replaces)."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 4 == 0,
+                       F.concat(F.lit("улица "), F.col("n_name")))
+                .when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.col("n_name"), F.lit(" проспект")))
+                .when(F.col("n_nationkey") % 4 == 2,
+                      F.concat(F.lit("набережная "), F.col("n_name")))
+                .otherwise(F.concat(F.lit("тупик "), F.col("n_name"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("ru")).alias("abbrev"))
+
+
+Q_ABBREV_RU_SQL = """
+WITH c AS (SELECT n_nationkey AS id,
+  CASE n_nationkey % 4
+    WHEN 0 THEN 'улица ' || n_name
+    WHEN 1 THEN n_name || ' проспект'
+    WHEN 2 THEN 'набережная ' || n_name
+    ELSE 'тупик ' || n_name END AS longname
+  FROM nation)
+SELECT id,
+  replace(replace(replace(replace(replace(replace(replace(replace(
+    longname, 'переулок', 'пер.'), 'тупик', 'туп.'), 'улица', 'ул.'),
+    'бульвар', 'бул.'), 'площадь', 'пл.'), 'проспект', 'просп.'),
+    'спуск', 'сп.'), 'набережная', 'наб.') AS abbrev
+FROM c
+"""
+
+
+def q_pip_squares(spark, sf_dir):
+    """J1 point-in-polygon join against caller polygons (synthetic
+    squares from nation keys) — ray-cast on the Spark side, range
+    predicates in the oracle."""
+    rects = [(r.n_name,
+              ((r.n_nationkey * 53) % 300) - 170.0,
+              ((r.n_nationkey * 29) % 140) - 80.0,
+              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
+              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
+             for r in _t(spark, sf_dir, "nation").collect()]
+    pts = _points(spark, sf_dir)
+    return pip_join_rects(pts, rects).select(F.col("id").alias("pid"), "cc")
+
+
+Q_PIP_SQUARES_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+sq AS (SELECT n_name AS cc,
+  ((n_nationkey * 53) % 300) - 170.0 AS xmin,
+  ((n_nationkey * 29) % 140) - 80.0 AS ymin FROM nation)
+SELECT p.id AS pid, COALESCE(MIN(s.cc), '') AS cc
+FROM pts p LEFT JOIN sq s
+  ON p.lon > s.xmin AND p.lon < s.xmin + 15.0
+ AND p.lat > s.ymin AND p.lat < s.ymin + 15.0
+GROUP BY p.id
+"""
+
+
+def q_knn_geo(spark, sf_dir):
+    """J5/W5: kNN via cell k-ring expansion + exact refine (the scale
+    path), checked against a brute-force SQL oracle."""
+    pts = _points(spark, sf_dir)
+    q = pts.filter(F.col("id") % 29 == 0)
+    return knn_cells(q, pts, 5, res=5, qid_col="id", iid_col="id") \
+        .select("qid", "iid", "rank")
+
+
+Q_KNN_GEO_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+q AS (SELECT * FROM pts WHERE id % 29 = 0),
+pairs AS (SELECT q.id AS qid, i.id AS iid,
+  (q.lon - i.lon) * (q.lon - i.lon) + (q.lat - i.lat) * (q.lat - i.lat) AS dist2
+  FROM q CROSS JOIN pts i),
+r AS (SELECT qid, iid,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, iid ASC) AS rank
+  FROM pairs)
+SELECT qid, iid, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_tile_assign(spark, sf_dir):
+    """J6: raster tile assignment via z-order bit interleave."""
+    pts = _points(spark, sf_dir)
+    tiled = pts.withColumn("tile_id",
+                           udf_tile_id(F.col("lon"), F.col("lat"), 8, 16))
+    return tiled.groupBy("tile_id").agg(F.count("*").alias("n"))
+
+
+Q_TILE_ASSIGN_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536) AS BIGINT), 0), 65535) AS tx,
+  LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 65536) AS BIGINT), 0), 65535) AS ty
+  FROM pts),
+{_spread_sql('g', 'tx', 'ty')}
+SELECT ((8::BIGINT << 58) | (morton >> 16)) AS tile_id, COUNT(*) AS n
+FROM s5 GROUP BY 1
+"""
+
+
+def q_cell_histogram(spark, sf_dir):
+    """A4: per-cell histogram (skew detection input)."""
+    pts = _points(spark, sf_dir)
+    return cell_histogram(assign_cells(pts, res=6)) \
+        .select("cell_id", "n_rows")
+
+
+Q_CELL_HISTOGRAM_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS tx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS ty
+  FROM pts),
+{_spread_sql('g', 'tx', 'ty')}
+SELECT ((6::BIGINT << 58) | morton) AS cell_id, COUNT(*) AS n_rows
+FROM s5 GROUP BY 1
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(d.filter(F.col("doc_id") < 5))
+    return exact_dedup(doubled, "doc_id", "text")
+
+
+Q_EXACT_DEDUP_SQL = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 5),
+k AS (SELECT doc_id, md5({_NORM_SQL}) AS dup_key FROM all_docs)
+SELECT dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM k GROUP BY dup_key HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signature(d, "doc_id", "text", n=5, bands=4)
+
+
+Q_MINHASH_SQL = rf"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+ix AS (SELECT doc_id, t,
+  unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i FROM norm),
+sh AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 5) AS sg FROM ix),
+b AS (SELECT unnest([0, 1, 2, 3]) AS band)
+SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sg)) AS minhash
+FROM sh CROSS JOIN b GROUP BY doc_id, band
+"""
+
+
+def q_levenshtein_pairs(spark, sf_dir):
+    """F11/A1: Levenshtein-threshold pair dedup (char-based built-in;
+    the byte-based reference parity shim is golden-tested separately)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
+    a, b = n.alias("a"), n.alias("b")
+    return (a.join(b, F.col("a.k") < F.col("b.k"))
+            .withColumn("dist", F.levenshtein(F.col("a.nm"), F.col("b.nm")))
+            .filter(F.col("dist") <= 5)
+            .select(F.col("a.k").alias("a_id"), F.col("b.k").alias("b_id"),
+                    "dist"))
+
+
+Q_LEVENSHTEIN_SQL = """
+SELECT a.n_nationkey AS a_id, b.n_nationkey AS b_id,
+       levenshtein(a.n_name, b.n_name) AS dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 5
+"""
+
+
+def q_cosine_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = e.select(F.col("vec_id").alias("iid"), "embedding")
+    return cosine_topk(q, items, 3).select("qid", "iid", "rank")
+
+
+Q_COSINE_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 20 = 0),
+r AS (SELECT q.qid, i.vec_id AS iid,
+  ROW_NUMBER() OVER (PARTITION BY q.qid
+    ORDER BY list_cosine_similarity(q.embedding, i.embedding) DESC,
+             i.vec_id ASC) AS rank
+  FROM q CROSS JOIN embeddings i)
+SELECT qid, iid, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_agg_pricing(spark, sf_dir):
+    """A-class aggregations (TPC-H Q1 shape) with exact decimal sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base"),
+                 F.sum(F.col("l_discount").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_disc"),
+                 F.count("*").alias("count_order")))
+
+
+Q_AGG_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """W5 window top-k per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank"))
+
+
+Q_TOPK_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_dim_rollup(spark, sf_dir):
+    """J2-style broadcast dimension joins + rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return joined.groupBy("r_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"))
+
+
+Q_DIM_ROLLUP_SQL = """
+SELECT r_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_antijoin_resume(spark, sf_dir):
+    """E4 snapshot-resume anti-join semantics."""
+    o = _t(spark, sf_dir, "orders")
+    committed = o.filter(F.col("o_orderkey") % 10 < 3).select("o_orderkey")
+    return (o.join(committed, "o_orderkey", "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_pending")))
+
+
+Q_ANTIJOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_pending
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM orders c
+                  WHERE c.o_orderkey = o.o_orderkey AND c.o_orderkey % 10 < 3)
+GROUP BY o_orderpriority
+"""
+
+
+def q_window_events(spark, sf_dir):
+    """Streaming-shaped tumbling window (batch equivalence)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n"))
+
+
+Q_WINDOW_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- rows-only (no SQL oracle)
+
+def q_localize_documents(spark, sf_dir):
+    """Full localization cascade UDF over tag maps built from the
+    documents corpus (engine kernels — not SQL-expressible)."""
+    from .engine.localize import localize
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.substring(F.col("text"), 1, 48).alias("caption"),
+        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
+        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
+        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+    return localize(staged, "de").select("image_id", "caption_l10n",
+                                         "cell_id", "tile_id")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.select("doc_id", "text").unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 100020))
+    return simhash_dup_pairs(doubled, "doc_id", "text", max_hamming=3)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.select("doc_id", "text").unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 100020))
+    return minhash_dup_pairs(doubled, "doc_id", "text",
+                             jaccard_threshold=0.8)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = e.select(F.col("vec_id").alias("iid"), "embedding")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(q, items, 3, dim=dim, n_bits=6, n_tables=6)
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "q_cascade": q_cascade,
+    "q_script_flags": q_script_flags,
+    "q_lang_profile": q_lang_profile,
+    "q_quality_tokens": q_quality_tokens,
+    "q_unaccent": q_unaccent,
+    "q_abbrev_ru": q_abbrev_ru,
+    "q_pip_squares": q_pip_squares,
+    "q_knn_geo": q_knn_geo,
+    "q_tile_assign": q_tile_assign,
+    "q_cell_histogram": q_cell_histogram,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash": q_minhash,
+    "q_levenshtein_pairs": q_levenshtein_pairs,
+    "q_cosine_knn": q_cosine_knn,
+    "q_agg_pricing": q_agg_pricing,
+    "q_topk_orders": q_topk_orders,
+    "q_dim_rollup": q_dim_rollup,
+    "q_antijoin_resume": q_antijoin_resume,
+    "q_window_events": q_window_events,
+    "q_localize_documents": q_localize_documents,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "q_cascade": Q_CASCADE_SQL,
+    "q_script_flags": Q_SCRIPT_FLAGS_SQL,
+    "q_lang_profile": Q_LANG_PROFILE_SQL,
+    "q_quality_tokens": Q_QUALITY_TOKENS_SQL,
+    "q_unaccent": Q_UNACCENT_SQL,
+    "q_abbrev_ru": Q_ABBREV_RU_SQL,
+    "q_pip_squares": Q_PIP_SQUARES_SQL,
+    "q_knn_geo": Q_KNN_GEO_SQL,
+    "q_tile_assign": Q_TILE_ASSIGN_SQL,
+    "q_cell_histogram": Q_CELL_HISTOGRAM_SQL,
+    "q_exact_dedup": Q_EXACT_DEDUP_SQL,
+    "q_minhash": Q_MINHASH_SQL,
+    "q_levenshtein_pairs": Q_LEVENSHTEIN_SQL,
+    "q_cosine_knn": Q_COSINE_KNN_SQL,
+    "q_agg_pricing": Q_AGG_PRICING_SQL,
+    "q_topk_orders": Q_TOPK_ORDERS_SQL,
+    "q_dim_rollup": Q_DIM_ROLLUP_SQL,
+    "q_antijoin_resume": Q_ANTIJOIN_SQL,
+    "q_window_events": Q_WINDOW_EVENTS_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
+    """entry() target: documents-derived image+caption table through the
+    full localization + cell/tile pipeline."""
+    return q_localize_documents(spark, sf_dir)

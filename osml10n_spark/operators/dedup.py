@@ -64,13 +64,18 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     seeded md5 hex hash.  Returns (doc_id, band, minhash)."""
     sh = df.select(F.col(id_col).alias("doc_id"),
                    shingles(F.col(text_col), n).alias("sh"))
+
+    def band_min(b: int):
+        # NOTE: the transform lambda must take exactly ONE parameter —
+        # a second parameter would be interpreted by Spark as the array
+        # index, not a closure default.
+        return F.array_min(F.transform(
+            F.col("sh"), lambda s: _shingle_hash(s, b)))
+
     per_band = []
     for b in range(bands):
-        per_band.append(F.struct(
-            F.lit(b).alias("band"),
-            F.array_min(F.transform(F.col("sh"),
-                                    lambda s, b=b: _shingle_hash(s, b)))
-            .alias("minhash")))
+        per_band.append(F.struct(F.lit(b).alias("band"),
+                                 band_min(b).alias("minhash")))
     return (sh.select("doc_id", F.explode(F.array(*per_band)).alias("bm"))
             .select("doc_id", F.col("bm.band").alias("band"),
                     F.col("bm.minhash").alias("minhash")))

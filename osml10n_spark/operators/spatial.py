@@ -157,6 +157,30 @@ def _ring_cells_df(pending: DataFrame, ring: int) -> DataFrame:
             .select("qid", "q_lon", "q_lat", "n_cell"))
 
 
+def pip_join_rects(points: DataFrame, rects: list, lon_col: str = "lon",
+                   lat_col: str = "lat", out_col: str = "cc") -> DataFrame:
+    """Generic broadcast PiP join against caller-supplied polygons
+    (given as rectangles ``(cc, xmin, ymin, xmax, ymax)`` here, packed
+    into real ring geometry and resolved by the same ray-casting code
+    as the country join).  First containing polygon in sorted-cc order
+    wins; '' on miss — the J1 semantics over arbitrary dims."""
+    from ..spatial.boundaries import BoundaryIndex
+    from ..spatial.geometry import pack_polygon
+
+    polys = [pack_polygon(cc, [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+             for cc, x0, y0, x1, y1 in rects]
+    index = BoundaryIndex(polys)
+
+    @pandas_udf("string")
+    def rect_cc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(index.lookup(lon.to_numpy(dtype=np.float64),
+                                      lat.to_numpy(dtype=np.float64)),
+                         dtype=object)
+
+    return points.withColumn(out_col, rect_cc(F.col(lon_col), F.col(lat_col)))
+
+
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
     """Heavy-cell detection feeding the salting decision (SURVEY.md §4)."""
     return df.groupBy(cell_col).agg(F.count("*").alias("n_rows")) \

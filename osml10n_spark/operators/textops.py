@@ -65,7 +65,8 @@ def quality_score(col):
         .otherwise(F.lit(0.0))
     raw = (F.lit(0.3) * len_score + F.lit(0.5) * alpha_ratio
            + F.lit(0.2) * (F.lit(1.0) - punct_pen) * (F.lit(1.0) - digit_pen))
-    return F.round(raw, 6)
+    # floor-based truncation (not round): bit-identical across engines
+    return F.floor(raw * F.lit(1000000.0)) / F.lit(1000000.0)
 
 
 def fingerprint(col):

@@ -1,0 +1,68 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry runs on Spark at sf0.001 and, where an oracle exists, must match
+DuckDB row-for-row (order-insensitive, columns sorted by name, values
+normalized the way a value-hash would see them)."""
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v!r}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_runs_and_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) >= 0          # runs
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        assert len(srows) > 0       # rows-only check
+        return
+    res = duck.sql(sql)
+    dcols = res.columns
+    drows = res.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), \
+        (scols, dcols)
+    left = _norm_rows([c.lower() for c in scols], srows)
+    right = _norm_rows([c.lower() for c in dcols], drows)
+    assert len(left) == len(right), (name, len(left), len(right))
+    mism = [i for i, (a, b) in enumerate(zip(left, right)) if a != b]
+    assert not mism, (name, [(left[i], right[i]) for i in mism[:3]])
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["image_id", "caption_l10n", "cell_id", "tile_id"]
