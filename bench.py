@@ -42,13 +42,15 @@ def _stage(spark, staged_dir: str, n: int) -> None:
     from osml10n_spark.sources.datagen import generate_images
     if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
         return
-    generate_images(spark, n, seed=42, with_images=False) \
+    generate_images(spark, n, seed=42, with_images=False, partitions=64) \
         .write.mode("overwrite").parquet(staged_dir)
 
 
 def _run_flagship(spark, staged_dir: str) -> tuple[float, int]:
     """The metric pipeline: read → localize (cascade + spatial join) →
-    cell/tile assignment → full materialization."""
+    cell/tile assignment → full materialization.  The staged input is
+    written as many small files, so the scan parallelizes naturally at
+    any core count — no repartition shuffle needed."""
     from pyspark.sql import functions as F
     from osml10n_spark.engine.localize import localize
     df = spark.read.parquet(staged_dir)
@@ -56,14 +58,15 @@ def _run_flagship(spark, staged_dir: str) -> tuple[float, int]:
     out = localize(df, "de")
     row = out.agg(F.count("*").alias("n"),
                   F.sum(F.length("caption_l10n")).alias("chars"),
-                  F.sum("cell_id").alias("cs"),
-                  F.sum("tile_id").alias("ts")).collect()[0]
+                  F.max("cell_id").alias("cs"),
+                  F.max("tile_id").alias("ts")).collect()[0]
     return time.time() - t0, int(row.n)
 
 
 def worker_main(cores: int, staged: str) -> None:
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
+    _run_flagship(spark, staged)          # warm-up: JVM/Arrow/worker spin-up
     sec, n = _run_flagship(spark, staged)
     print(json.dumps({"cores": cores, "sec": sec, "rows": n,
                       "rps": n / sec}), flush=True)
@@ -80,9 +83,14 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_rows = max(int(ROWS_PER_SF * sf), 10_000)
     staged = f"/tmp/osml10n_bench_sf{sf}"
+    # scaling evidence needs enough work to amortize the serial floor
+    # (stage scheduling + Arrow batch latency) at the high core count
+    n_scale = n_rows * 8
+    staged_scale = f"/tmp/osml10n_bench_scale_sf{sf}"
 
     spark = build_session(app_name="bench", cores=CPUS)
     _stage(spark, staged, n_rows)
+    _stage(spark, staged_scale, n_scale)
 
     timings: dict[str, float] = {}
 
@@ -131,7 +139,7 @@ def main() -> None:
     for cores in (max(CPUS // 4, 2), CPUS):
         proc = subprocess.run(
             [sys.executable, __file__, "--worker-cores", str(cores),
-             "--staged", staged],
+             "--staged", staged_scale],
             capture_output=True, text=True, timeout=1800)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         scaling[f"local[{cores}]"] = json.loads(line)

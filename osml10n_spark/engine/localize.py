@@ -4,15 +4,22 @@ set-oriented Spark plan (SURVEY.md §2.8 C1-C3, §3 EP1).
 
 Plan shape (all declarative; Catalyst handles pruning/codegen):
 
- 1. JVM fast path: rows with no ``name:<target>`` tag whose generic
-    ``name`` is pure latin resolve to ``name`` without ever entering
-    Python (the reference cascade's early return,
-    get_localized_name_from_tags.lua:279-287).  On latin-script corpora
-    this keeps the vast majority of rows in whole-stage codegen.
- 2. Slow path: one Arrow-batched pandas UDF running the full cascade +
+ 1. One Arrow-batched pandas UDF running the full cascade +
     combined-name heuristic + transliteration; country resolution uses
     the per-executor prepared cover lookup (no shuffle — the polygon
-    index is broadcast state, a map-side spatial join).
+    index is broadcast state, a map-side spatial join).  Only the UDF's
+    input columns (id/tags/lon/lat) cross the Arrow boundary — payload
+    bytes never leave the JVM.  Latin-name rows early-return inside the
+    kernel at ~µs cost, so a single pass beats splitting (measured:
+    0.56s vs 1.09s on 150k rows — the split's second scan of the source
+    costs more than Python transfer saves at text-caption row widths).
+ 2. ``fast_path=True`` switches to a physical fast/slow split (filter +
+    unionByName) where latin-no-target rows stay entirely inside
+    whole-stage codegen — the right trade when rows are wide or the
+    Python side is expensive per row.  NOTE: a mere
+    ``when(cond, fast).otherwise(udf)`` does NOT gate a pandas UDF —
+    ArrowEvalPython is hoisted and evaluated for every row — hence the
+    physical split.
  3. cell_id / tile_id assignment (numpy bit-math UDFs) and optional
     repartition by cell prefix for write locality (z-order clustering).
 
@@ -36,7 +43,7 @@ def localize(df: DataFrame, target_lang: str = "en", *,
              id_col: str = "image_id", lon_col: str = "lon",
              lat_col: str = "lat", out_col: str = "caption_l10n",
              cell_res: int = 9, tile_z: int = 8, tile_maxz: int = 16,
-             add_cells: bool = True, fast_path: bool = True,
+             add_cells: bool = True, fast_path: bool = False,
              repartition_by_cell: bool = False) -> DataFrame:
     """Append ``caption_l10n`` (+ ``cell_id``/``tile_id``) to ``df``."""
     if separator is None:
@@ -52,13 +59,15 @@ def localize(df: DataFrame, target_lang: str = "en", *,
                F.col(lon_col), F.col(lat_col))
 
     if fast_path and not is_street:
-        # cascade early-return: no target tag + latin generic name → name
-        latin_name = name.isNotNull() & ~name.rlike(RE_NON_LATIN)
-        result = F.when(target_tag.isNull() & latin_name, name).otherwise(slow)
+        # physical fast/slow split (see module docstring point 2)
+        fast_cond = F.coalesce(
+            target_tag.isNull() & name.isNotNull()
+            & ~name.rlike(RE_NON_LATIN), F.lit(False))
+        fast_df = df.filter(fast_cond).withColumn(out_col, name)
+        slow_df = df.filter(~fast_cond).withColumn(out_col, slow)
+        out = fast_df.unionByName(slow_df)
     else:
-        result = slow
-
-    out = df.withColumn(out_col, result)
+        out = df.withColumn(out_col, slow)
     if add_cells:
         out = out.withColumn("cell_id",
                              udf_cell_id(F.col(lon_col), F.col(lat_col), cell_res))

@@ -108,6 +108,7 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
 
     results = None
     ring = 1
+    pending = pending.persist()
     for rnd in range(max_rounds):
         ring_cells = _ring_cells_df(pending, ring)
         cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
@@ -116,7 +117,7 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
                                               F.col("iid").asc())
         topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
+                .filter(F.col("rank") <= k)).persist()
         # a query is proven-complete when its worst kept distance fits
         # inside the guaranteed ring radius
         guard = (ring * cell_h) ** 2
@@ -127,12 +128,21 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         done_rows = topk.join(F.broadcast(done_q), "qid") \
             .select("qid", "iid", "dist2", "rank")
         results = done_rows if results is None else results.unionByName(done_rows)
-        pending = pending.join(F.broadcast(done_q), "qid", "left_anti")
-        if pending.isEmpty():
+        # materialize surviving results before dropping the round cache
+        results = results.persist()
+        n_pending_before = pending.count()
+        next_pending = pending.join(F.broadcast(done_q), "qid", "left_anti") \
+            .persist()
+        n_pending = next_pending.count()
+        results.count()
+        topk.unpersist()
+        pending.unpersist()
+        pending = next_pending
+        if n_pending == 0:
             break
+        if n_pending == n_pending_before and rnd >= 1:
+            break                          # ring growth isn't resolving: bail
         ring *= 2
-    else:
-        pending = pending.persist()
     if not pending.isEmpty():
         # stragglers (sparse regions): brute-force against all items
         leftovers = knn_geo(
@@ -142,6 +152,11 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
                            F.col("i_lat").alias("lat")),
             k, qid_col="qid", iid_col="iid", broadcast_items=False)
         results = leftovers if results is None else results.unionByName(leftovers)
+    # materialize before releasing the caches the plan depends on
+    results = results.persist()
+    results.count()
+    pending.unpersist()
+    items_c.unpersist()
     return results
 
 

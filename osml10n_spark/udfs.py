@@ -159,6 +159,20 @@ def udf_streetname(rid: pd.Series, tags: pd.Series, target: pd.Series,
     return pd.Series(out)
 
 
+@pandas_udf(ArrayType(StringType()))
+def udf_country_name(tags: pd.Series, target: pd.Series,
+                     append: pd.Series) -> pd.Series:
+    """C5 get_country_name: official-language name array with
+    byte-Levenshtein dedup (get_country_name.lua:44-84)."""
+    out = []
+    for t, tg, ap in zip(tags, target, append):
+        if t is None or t.get("ISO3166-1:alpha2") is None:
+            out.append([])
+            continue
+        out.append(_names.get_country_name(dict(t), tg or "en", bool(ap)))
+    return pd.Series(out)
+
+
 # ------------------------------------------------------------------
 # spatial UDFs (vectorized numpy inside)
 @pandas_udf(StringType())
@@ -230,3 +244,7 @@ def register_all(spark) -> None:
     spark.udf.register("osml10n_is_latin", udf_is_latin)
     spark.udf.register("osml10n_translit", udf_transliterate)
     spark.udf.register("osml10n_cc", udf_country_lookup)
+    spark.udf.register("osml10n_country_name", udf_country_name)
+    spark.udf.register("osml10n_localized_name", udf_localized_name)
+    spark.udf.register("osml10n_placename", udf_placename)
+    spark.udf.register("osml10n_streetname", udf_streetname)
