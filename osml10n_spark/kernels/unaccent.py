@@ -38,6 +38,8 @@ def unaccent(text: str) -> str:
     combining marks; Hangul syllables are preserved (libunac parity)."""
     if text is None:
         return None
+    if text.isascii():          # fast path: nothing to decompose
+        return text
     out = []
     for c in text:
         if _is_hangul_syllable(c):

@@ -61,13 +61,7 @@ class _BatchTranscriptor:
             if place is None:
                 cc = ""
             else:
-                if callable(place):
-                    place = list(place())
-                try:
-                    lon = (place[0] + place[2]) / 2.0
-                    lat = (place[1] + place[3]) / 2.0
-                except (TypeError, IndexError, KeyError):
-                    lon, lat = 0.0, 0.0
+                lon, lat = _centroid_quirk(place)
                 cc = _translit.gate_cc(
                     name, lambda: str(_prepared().lookup([lon], [lat])[0]))
             return _translit.transcript(rec_id, cc, name)
@@ -81,6 +75,170 @@ class _BatchTranscriptor:
 
 
 _BT = _BatchTranscriptor()
+
+
+def _centroid_quirk(place):
+    """bbox → centroid with the reference degradation quirks
+    (geo_transcript.lua:19-35): callables invoked, non-indexable /
+    string bboxes collapse to (0, 0)."""
+    if callable(place):
+        place = list(place())
+    try:
+        return (place[0] + place[2]) / 2.0, (place[1] + place[3]) / 2.0
+    except (TypeError, IndexError, KeyError):
+        return 0.0, 0.0
+
+
+class _DeferGeo(Exception):
+    """Raised by the deferring transcriptor at the (single) cascade site
+    that needs a geo lookup, so the batch can resolve all lookups with
+    ONE vectorized PreparedLookup call instead of per-row probes."""
+
+    def __init__(self, name, place):
+        self.name = name
+        self.place = place
+
+
+class _DeferringTranscriptor:
+    def geo_transcript(self, rec_id, name, place):
+        raise _DeferGeo(name, place)
+
+    def country_transcript(self, rec_id, name, cc=None):
+        if name == "":
+            return ""
+        return _translit.transcript(rec_id, cc or "", name)
+
+
+class _ResolvedTranscriptor:
+    """Replays a precomputed transliteration into the cascade rerun."""
+
+    def __init__(self, result):
+        self.result = result
+
+    def geo_transcript(self, rec_id, name, place):
+        return self.result
+
+    def country_transcript(self, rec_id, name, cc=None):
+        if name == "":
+            return ""
+        return _translit.transcript(rec_id, cc or "", name)
+
+
+_DEFER = _DeferringTranscriptor()
+_MEMO_CAP = 200_000
+
+
+def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
+                    mode: str) -> list:
+    """Shared batch driver for the cascade UDFs.
+
+    Two-phase evaluation: phase 1 runs the cascade per row with geo
+    deferred (most rows complete — latin fast path, target-tag hits,
+    romanization tags); phase 2 gates + batch-resolves countries for
+    the deferred rows in one vectorized PiP call, transliterates, and
+    replays the cascade tail.  Location-independent rows are memoized
+    per worker (map-label corpora repeat captions heavily)."""
+    import numpy as np
+
+    memo = _STATE.setdefault("memo_" + mode, {})
+    n = len(rids)
+    out = [None] * n
+    deferred: list = []          # (i, rid, tags, target, last, sep, exc)
+
+    if mode == "localized":
+        def run(rid, t, tg, ll, sp, tr):
+            return _names.get_localized_name_from_tags(rid, t, tg, None, tr)
+    elif mode == "placename":
+        def run(rid, t, tg, ll, sp, tr):
+            return _names.get_placename_from_tags(rid, t, ll, sp, tg, None, tr)
+    else:
+        def run(rid, t, tg, ll, sp, tr):
+            return _names.get_streetname_from_tags(rid, t, ll, sp, tg, None, tr)
+
+    for i in range(n):
+        t = tags_list[i]
+        if t is None:
+            out[i] = ""
+            continue
+        tg = targets[i]
+        ll = bool(lasts[i]) if lasts is not None else False
+        sp = seps[i] if seps is not None else None
+        key = None
+        try:
+            key = (mode, tg, ll, sp, tuple(sorted(t.items())))
+            hit = memo.get(key)
+            if hit is not None:
+                out[i] = hit
+                continue
+        except TypeError:
+            key = None
+        try:
+            res = run(rids[i] or "", dict(t), tg, ll, sp, _DEFER)
+            out[i] = res
+            if key is not None and len(memo) < _MEMO_CAP:
+                memo[key] = res
+        except _DeferGeo as e:
+            deferred.append((i, t, tg, ll, sp, e, key))
+        except Exception:
+            out[i] = ""
+
+    if deferred:
+        # gate + batch country resolution (one vectorized PiP call)
+        geo_memo = _STATE.setdefault("geo_memo_" + mode, {})
+        tl_memo = _STATE.setdefault("translit_memo", {})
+        cjk_rows, cents = [], []
+        ccs = [""] * len(deferred)
+        for j, (i, t, tg, ll, sp, e, key) in enumerate(deferred):
+            # place=None at the row level means "use the row's lon/lat"
+            place = e.place if e.place is not None else None
+            if place is None:
+                lon, lat = lons[i], lats[i]
+                if lon is None or lat is None:
+                    ccs[j] = None          # CC path: no geometry at all
+                    continue
+            else:
+                lon, lat = _centroid_quirk(place)
+            if _translit.contains_cjk(e.name):
+                cjk_rows.append(j)
+                cents.append((lon, lat))
+            elif _translit.contains_thai(e.name):
+                ccs[j] = "th"
+        if cjk_rows:
+            arr = np.asarray(cents, dtype=np.float64)
+            res = _prepared().lookup(arr[:, 0], arr[:, 1])
+            for j, cc in zip(cjk_rows, res):
+                ccs[j] = str(cc)
+        for j, (i, t, tg, ll, sp, e, key) in enumerate(deferred):
+            cc = ccs[j] or ""
+            # geo-dependence is fully captured by (tags key, cc): two
+            # rows with identical tags/flags and the same resolved
+            # country produce identical output wherever they sit
+            key2 = (key, cc) if key is not None else None
+            if key2 is not None:
+                hit = geo_memo.get(key2)
+                if hit is not None:
+                    out[i] = hit
+                    continue
+            tkey = (cc, e.name)
+            translit = tl_memo.get(tkey)
+            if translit is None:
+                try:
+                    translit = _translit.transcript(rids[i] or "", cc, e.name)
+                except Exception:
+                    translit = ""
+                if len(tl_memo) < _MEMO_CAP:
+                    tl_memo[tkey] = translit
+            if mode == "localized":
+                out[i] = translit
+            else:
+                try:
+                    out[i] = run(rids[i] or "", dict(t), tg, ll, sp,
+                                 _ResolvedTranscriptor(translit))
+                except Exception:
+                    out[i] = ""
+            if key2 is not None and len(geo_memo) < _MEMO_CAP:
+                geo_memo[key2] = out[i]
+    return out
 
 
 # ------------------------------------------------------------------
@@ -121,42 +279,27 @@ def _row_place(lon, lat):
 @pandas_udf(StringType())
 def udf_localized_name(rid: pd.Series, tags: pd.Series, target: pd.Series,
                        lon: pd.Series, lat: pd.Series) -> pd.Series:
-    out = []
-    for r, t, tg, lo, la in zip(rid, tags, target, lon, lat):
-        if t is None:
-            out.append("")
-            continue
-        out.append(_names.get_localized_name_from_tags(
-            r or "", dict(t), tg, _row_place(lo, la), _BT))
-    return pd.Series(out)
+    return pd.Series(_batch_localize(
+        rid.tolist(), tags.tolist(), target.tolist(), None, None,
+        lon.tolist(), lat.tolist(), "localized"))
 
 
 @pandas_udf(StringType())
 def udf_placename(rid: pd.Series, tags: pd.Series, target: pd.Series,
                   last: pd.Series, sep: pd.Series,
                   lon: pd.Series, lat: pd.Series) -> pd.Series:
-    out = []
-    for r, t, tg, ll, sp, lo, la in zip(rid, tags, target, last, sep, lon, lat):
-        if t is None:
-            out.append("")
-            continue
-        out.append(_names.get_placename_from_tags(
-            r or "", dict(t), bool(ll), sp, tg, _row_place(lo, la), _BT))
-    return pd.Series(out)
+    return pd.Series(_batch_localize(
+        rid.tolist(), tags.tolist(), target.tolist(), last.tolist(),
+        sep.tolist(), lon.tolist(), lat.tolist(), "placename"))
 
 
 @pandas_udf(StringType())
 def udf_streetname(rid: pd.Series, tags: pd.Series, target: pd.Series,
                    last: pd.Series, sep: pd.Series,
                    lon: pd.Series, lat: pd.Series) -> pd.Series:
-    out = []
-    for r, t, tg, ll, sp, lo, la in zip(rid, tags, target, last, sep, lon, lat):
-        if t is None:
-            out.append("")
-            continue
-        out.append(_names.get_streetname_from_tags(
-            r or "", dict(t), bool(ll), sp, tg, _row_place(lo, la), _BT))
-    return pd.Series(out)
+    return pd.Series(_batch_localize(
+        rid.tolist(), tags.tolist(), target.tolist(), last.tolist(),
+        sep.tolist(), lon.tolist(), lat.tolist(), "streetname"))
 
 
 @pandas_udf(ArrayType(StringType()))
