@@ -54,7 +54,10 @@ def localize(df: DataFrame, target_lang: str = "en", *,
     target_tag = F.element_at(tags, F.lit("name:" + target_lang))
 
     udf = udf_streetname if is_street else udf_placename
-    slow = udf(F.col(id_col), tags, F.lit(target_lang),
+    # tags travel to Python as a JSON string: Arrow map-type writes
+    # contend on the shared JVM allocator and anti-scale (see
+    # udfs._batch_localize); to_json is whole-stage-codegen JVM work
+    slow = udf(F.col(id_col), F.to_json(tags), F.lit(target_lang),
                F.lit(localized_name_last), F.lit(separator),
                F.col(lon_col), F.col(lat_col))
 

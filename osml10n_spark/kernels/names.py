@@ -86,6 +86,31 @@ def langcode_from_tag(tag: str) -> str | None:
     return segs[-1] if segs else None
 
 
+# byte sets for the two Lua boundary classes (see header): membership
+# tests for the literal-scan fast path (no regex compilation per row —
+# unique-caption corpora thrash Python's 512-entry re cache otherwise)
+_CLS_LOCAL_SET = frozenset(b"][\t\n\v\f\r ()-,;:/")
+_CLS_TAG_SET = frozenset(b"][\t\n\v\f\r ()*+,;:/")
+
+
+def _find_literal_pos(hay: bytes, needle: bytes, cls_set: frozenset):
+    """1-based position of the first cls+needle+cls match where needle
+    is a LITERAL byte string — equivalent to the regex search but
+    allocation-free.  Returns None when not found."""
+    if not needle:
+        return None
+    start = 1
+    nlen = len(needle)
+    while True:
+        i = hay.find(needle, start)
+        if i < 1:
+            return None
+        j = i + nlen
+        if j < len(hay) and hay[i - 1] in cls_set and hay[j] in cls_set:
+            return i          # boundary char at i-1 (0-based) → 1-based i
+        start = i + 1
+
+
 def _lua_tag_pattern(unacc_tag: bytes) -> bytes:
     """Replicate the crude escaping at :185-186 and the residual Lua
     pattern semantics: '.'→'::', set chars→'@', then '-' acts as a lazy
@@ -153,7 +178,7 @@ def gen_combined_names(local_tag: str, tags: dict, localized_name_last,
     unacc_local_b = unacc_local.encode("utf-8")
     hay = b" " + unacc_b + b" "
 
-    pos = _find_pos(hay, re.escape(unacc_local_b), _CLS_LOCAL)   # (:148)
+    pos = _find_literal_pos(hay, unacc_local_b, _CLS_LOCAL_SET)  # (:148)
     if pos == 1 and localized_name_last:   # forcing (:149-152)
         localized_name_last = False
 
@@ -170,11 +195,20 @@ def gen_combined_names(local_tag: str, tags: dict, localized_name_last,
         for tag in lang_names:
             unacc_tag = unaccent(tags[tag])
             if unacc_tag != unacc_local:
-                pat = _lua_tag_pattern(unacc_tag.encode("utf-8"))
-                try:
-                    utag_pos = _find_pos(hay, pat, _CLS_TAG)
-                except re.error:
-                    utag_pos = None
+                raw = unacc_tag.encode("utf-8")
+                crude = raw.replace(b".", b"::")
+                crude = bytes(b"@"[0] if c in b"][()%+*?^$" else c
+                              for c in crude)
+                if b"-" not in crude:
+                    # fully literal after the crude escaping → byte scan
+                    utag_pos = _find_literal_pos(hay, crude, _CLS_TAG_SET)
+                else:
+                    # '-' behaves as a Lua lazy quantifier → regex path
+                    pat = _lua_tag_pattern(raw)
+                    try:
+                        utag_pos = _find_pos(hay, pat, _CLS_TAG)
+                    except re.error:
+                        utag_pos = None
                 if utag_pos is not None:
                     tmp[utag_pos] = tag
                     found = True

@@ -37,19 +37,27 @@ RE_THAI = "[\\u0E01-\\u0E7E]"
 
 def is_latin(text: str) -> bool:
     """True iff every codepoint is <= U+024F (Latin Extended-B end)."""
-    return all(ord(c) <= 0x24F for c in text)
+    if text.isascii():            # C-speed fast path (ASCII ⊂ latin)
+        return True
+    return max(map(ord, text), default=0) <= 0x24F
 
 
 def contains_cjk(text: str) -> bool:
     """True iff any codepoint is strictly inside (U+4E00, U+9FFF)."""
+    if text.isascii():
+        return False
     return any(0x4E00 < ord(c) < 0x9FFF for c in text)
 
 
 def contains_cyrillic(text: str) -> bool:
     """True iff any codepoint is strictly inside (U+0400, U+04FF)."""
+    if text.isascii():
+        return False
     return any(0x0400 < ord(c) < 0x04FF for c in text)
 
 
 def contains_thai(text: str) -> bool:
     """True iff any codepoint is strictly inside (U+0E00, U+0E7F)."""
+    if text.isascii():
+        return False
     return any(0x0E00 < ord(c) < 0x0E7F for c in text)

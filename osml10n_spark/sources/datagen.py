@@ -53,26 +53,36 @@ _URBAN = (139.70, 35.68, 0.05)       # dense Tokyo cell → deliberate skew
 
 
 def caption_for(rng: np.random.Generator) -> tuple[str, dict, float, float]:
-    """Pick (caption, tags, lon, lat) for one row."""
+    """Pick (caption, tags, lon, lat) for one row.
+
+    80% of single-name captions get a unique numeric suffix (street
+    numbers / plot ids) — realistic label cardinality, so per-row work
+    can't be amortized away by caching alone."""
     u = rng.random()
+
+    def uniq(cap: str) -> str:
+        if rng.random() < 0.8:
+            return f"{cap} {int(rng.integers(1, 1000000))}"
+        return cap
+
     if u < 0.50:          # latin
-        cap = _LATIN[rng.integers(len(_LATIN))]
+        cap = uniq(_LATIN[rng.integers(len(_LATIN))])
         tags = {"name": cap}
         if rng.random() < 0.3:
             tags["name:de"] = cap
         lon, lat = _place_world(rng)
     elif u < 0.62:        # cyrillic
-        cap = _CYR[rng.integers(len(_CYR))]
+        cap = uniq(_CYR[rng.integers(len(_CYR))])
         tags = {"name": cap}
         lon, lat = _place_world(rng)
     elif u < 0.80:        # cjk near the boundary clusters
-        cap = _CJK[rng.integers(len(_CJK))]
+        cap = uniq(_CJK[rng.integers(len(_CJK))])
         tags = {"name": cap}
         cx, cy, r = _CJK_CLUSTERS[rng.integers(len(_CJK_CLUSTERS))]
         lon = cx + rng.normal(0, r)
         lat = cy + rng.normal(0, r)
     elif u < 0.87:        # thai
-        cap = _THAI[rng.integers(len(_THAI))]
+        cap = uniq(_THAI[rng.integers(len(_THAI))])
         tags = {"name": cap}
         lon = 100.5 + rng.normal(0, 0.8)
         lat = 14.0 + rng.normal(0, 0.8)

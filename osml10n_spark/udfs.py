@@ -132,18 +132,32 @@ def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
                     mode: str) -> list:
     """Shared batch driver for the cascade UDFs.
 
+    ``tags_list`` holds JSON-encoded tag maps (produced JVM-side with
+    ``to_json``): Arrow map-type serialization contends on the shared
+    JVM allocator and ANTI-scales beyond ~8 parallel tasks (measured
+    3.8s@8c → 7.2s@32c for a no-op UDF over 7.2M map rows vs
+    1.9s → 1.2s for the same data as JSON strings), so tags travel as
+    strings and are parsed only on memo miss.
+
     Two-phase evaluation: phase 1 runs the cascade per row with geo
     deferred (most rows complete — latin fast path, target-tag hits,
     romanization tags); phase 2 gates + batch-resolves countries for
     the deferred rows in one vectorized PiP call, transliterates, and
     replays the cascade tail.  Location-independent rows are memoized
-    per worker (map-label corpora repeat captions heavily)."""
+    per worker keyed by the raw JSON string (map-label corpora repeat
+    captions heavily); geo-dependent rows are memoized by
+    (key, resolved cc), which captures their full location dependence."""
+    import json
+
     import numpy as np
 
     memo = _STATE.setdefault("memo_" + mode, {})
+    # keys known to defer: key -> (name_for_translit, place_arg); lets
+    # repeated geo rows skip the phase-1 cascade entirely
+    defer_memo = _STATE.setdefault("defer_memo_" + mode, {})
     n = len(rids)
     out = [None] * n
-    deferred: list = []          # (i, rid, tags, target, last, sep, exc)
+    deferred: list = []          # (i, tj, tags_or_None, tg, ll, sp, name, place, key)
 
     if mode == "localized":
         def run(rid, t, tg, ll, sp, tr):
@@ -156,29 +170,32 @@ def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
             return _names.get_streetname_from_tags(rid, t, ll, sp, tg, None, tr)
 
     for i in range(n):
-        t = tags_list[i]
-        if t is None:
+        tj = tags_list[i]
+        if tj is None:
             out[i] = ""
             continue
         tg = targets[i]
         ll = bool(lasts[i]) if lasts is not None else False
         sp = seps[i] if seps is not None else None
-        key = None
+        key = (tg, ll, sp, tj)
+        hit = memo.get(key)
+        if hit is not None:
+            out[i] = hit
+            continue
+        dm = defer_memo.get(key)
+        if dm is not None:
+            deferred.append((i, tj, None, tg, ll, sp, dm[0], dm[1], key))
+            continue
         try:
-            key = (mode, tg, ll, sp, tuple(sorted(t.items())))
-            hit = memo.get(key)
-            if hit is not None:
-                out[i] = hit
-                continue
-        except TypeError:
-            key = None
-        try:
-            res = run(rids[i] or "", dict(t), tg, ll, sp, _DEFER)
+            t = json.loads(tj)
+            res = run(rids[i] or "", t, tg, ll, sp, _DEFER)
             out[i] = res
-            if key is not None and len(memo) < _MEMO_CAP:
+            if len(memo) < _MEMO_CAP:
                 memo[key] = res
         except _DeferGeo as e:
-            deferred.append((i, t, tg, ll, sp, e, key))
+            if len(defer_memo) < _MEMO_CAP:
+                defer_memo[key] = (e.name, e.place)
+            deferred.append((i, tj, t, tg, ll, sp, e.name, e.place, key))
         except Exception:
             out[i] = ""
 
@@ -188,9 +205,8 @@ def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
         tl_memo = _STATE.setdefault("translit_memo", {})
         cjk_rows, cents = [], []
         ccs = [""] * len(deferred)
-        for j, (i, t, tg, ll, sp, e, key) in enumerate(deferred):
+        for j, (i, tj, t, tg, ll, sp, name, place, key) in enumerate(deferred):
             # place=None at the row level means "use the row's lon/lat"
-            place = e.place if e.place is not None else None
             if place is None:
                 lon, lat = lons[i], lats[i]
                 if lon is None or lat is None:
@@ -198,32 +214,31 @@ def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
                     continue
             else:
                 lon, lat = _centroid_quirk(place)
-            if _translit.contains_cjk(e.name):
+            if _translit.contains_cjk(name):
                 cjk_rows.append(j)
                 cents.append((lon, lat))
-            elif _translit.contains_thai(e.name):
+            elif _translit.contains_thai(name):
                 ccs[j] = "th"
         if cjk_rows:
             arr = np.asarray(cents, dtype=np.float64)
             res = _prepared().lookup(arr[:, 0], arr[:, 1])
             for j, cc in zip(cjk_rows, res):
                 ccs[j] = str(cc)
-        for j, (i, t, tg, ll, sp, e, key) in enumerate(deferred):
+        for j, (i, tj, t, tg, ll, sp, name, place, key) in enumerate(deferred):
             cc = ccs[j] or ""
             # geo-dependence is fully captured by (tags key, cc): two
             # rows with identical tags/flags and the same resolved
             # country produce identical output wherever they sit
-            key2 = (key, cc) if key is not None else None
-            if key2 is not None:
-                hit = geo_memo.get(key2)
-                if hit is not None:
-                    out[i] = hit
-                    continue
-            tkey = (cc, e.name)
+            key2 = (key, cc)
+            hit = geo_memo.get(key2)
+            if hit is not None:
+                out[i] = hit
+                continue
+            tkey = (cc, name)
             translit = tl_memo.get(tkey)
             if translit is None:
                 try:
-                    translit = _translit.transcript(rids[i] or "", cc, e.name)
+                    translit = _translit.transcript(rids[i] or "", cc, name)
                 except Exception:
                     translit = ""
                 if len(tl_memo) < _MEMO_CAP:
@@ -232,11 +247,13 @@ def _batch_localize(rids, tags_list, targets, lasts, seps, lons, lats,
                 out[i] = translit
             else:
                 try:
+                    if t is None:
+                        t = json.loads(tj)
                     out[i] = run(rids[i] or "", dict(t), tg, ll, sp,
                                  _ResolvedTranscriptor(translit))
                 except Exception:
                     out[i] = ""
-            if key2 is not None and len(geo_memo) < _MEMO_CAP:
+            if len(geo_memo) < _MEMO_CAP:
                 geo_memo[key2] = out[i]
     return out
 
@@ -269,11 +286,8 @@ def udf_transliterate(name: pd.Series, cc: pd.Series) -> pd.Series:
 
 
 # ------------------------------------------------------------------
-# cascade UDFs: tags arrives as a MapType column (dict per element)
-def _row_place(lon, lat):
-    if lon is None or lat is None:
-        return None
-    return [lon, lat, lon, lat]           # degenerate bbox → centroid = point
+# cascade UDFs: tags arrives as a JSON string column (to_json JVM-side;
+# see _batch_localize for why not MapType)
 
 
 @pandas_udf(StringType())
