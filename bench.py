@@ -97,9 +97,9 @@ def main() -> None:
     n_rows = max(int(ROWS_PER_SF * sf), 10_000)
     staged = f"/tmp/osml10n_bench_sf{sf}"
     # scaling evidence needs enough work to amortize the serial floor
-    # (local-mode task launch ≈8ms/task serialized in the driver, stage
-    # scheduling, Arrow stream latency ≈0.5s/stage) at the high core
-    # count — measured S≈0.6s → need W ≥ ~90·S for 0.8 efficiency
+    # (local-mode task launch, stage scheduling, Arrow stream latency)
+    # at the high core count; see BENCH.md for the measured host
+    # memory-bandwidth ceiling that bounds single-box efficiency
     n_scale = n_rows * 48
     staged_scale = f"/tmp/osml10n_bench_scale_sf{sf}"
 
