@@ -17,12 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.dedup import (exact_dedup, minhash_dup_pairs,
                               minhash_signature, simhash_dup_pairs)
-from .operators.similarity import cosine_topk, lsh_topk
+from .operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from .operators.spatial import (assign_cells, cell_histogram, knn_cells,
                                 pip_join_rects)
 from .operators.textops import (add_script_flags, fingerprint, lang_id,
                                 quality_score, token_count)
-from .udfs import udf_street_abbrev, udf_tile_id, udf_unaccent
+from .udfs import (udf_country_name, udf_placename, udf_street_abbrev,
+                   udf_tile_id, udf_unaccent)
 
 # ------------------------------------------------------------------ helpers
 
@@ -499,6 +500,271 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_abbrev_de(spark, sf_dir):
+    """F3 german abbreviation: position guards (>2), title prefixes,
+    and the position-1 quirk (Platzhirschweg untouched)."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 4 == 0,
+                       F.concat(F.col("n_name"), F.lit("straße")))
+                .when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.lit("Professor-"), F.col("n_name"),
+                               F.lit("-Platz")))
+                .when(F.col("n_nationkey") % 4 == 2, F.lit("Platzhirschweg"))
+                .otherwise(F.concat(F.col("n_name"), F.lit(" Gasse"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("de")).alias("abbrev"))
+
+
+Q_ABBREV_DE_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 4
+    WHEN 0 THEN n_name || 'str.'
+    WHEN 1 THEN 'Prof.-' || n_name || '-Pl.'
+    WHEN 2 THEN 'Platzhirschweg'
+    ELSE n_name || ' G.' END AS abbrev
+FROM nation
+"""
+
+
+def q_abbrev_en(spark, sf_dir):
+    """F4 english abbreviation: first-match suffix ladder + the
+    string-initial Avenue exclusion."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 5 == 0,
+                       F.concat(F.col("n_name"), F.lit(" Street")))
+                .when(F.col("n_nationkey") % 5 == 1,
+                      F.concat(F.col("n_name"), F.lit(" Avenue")))
+                .when(F.col("n_nationkey") % 5 == 2,
+                      F.concat(F.lit("Avenue "), F.col("n_name")))
+                .when(F.col("n_nationkey") % 5 == 3,
+                      F.concat(F.col("n_name"), F.lit(" Boulevard")))
+                .otherwise(F.concat(F.col("n_name"), F.lit(" Parkway"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("en")).alias("abbrev"))
+
+
+Q_ABBREV_EN_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 5
+    WHEN 0 THEN n_name || ' St.'
+    WHEN 1 THEN n_name || ' Ave.'
+    WHEN 2 THEN 'Avenue ' || n_name
+    WHEN 3 THEN n_name || ' Blvd.'
+    ELSE n_name || ' Pkwy.' END AS abbrev
+FROM nation
+"""
+
+
+def q_abbrev_fr(spark, sf_dir):
+    """F5 french abbreviation: string-initial-only anchored ladder."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 4 == 0,
+                       F.concat(F.lit("Avenue "), F.col("n_name")))
+                .when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.lit("Boulevard "), F.col("n_name")))
+                .when(F.col("n_nationkey") % 4 == 2,
+                      F.concat(F.col("n_name"), F.lit(" Avenue")))
+                .otherwise(F.concat(F.lit("Impasse "), F.col("n_name"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("fr")).alias("abbrev"))
+
+
+Q_ABBREV_FR_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 4
+    WHEN 0 THEN 'Av. ' || n_name
+    WHEN 1 THEN 'Bd ' || n_name
+    WHEN 2 THEN n_name || ' Avenue'
+    ELSE 'Imp. ' || n_name END AS abbrev
+FROM nation
+"""
+
+
+def q_country_name(spark, sf_dir):
+    """C5 get_country_name: official-language candidates (BE: nl,fr,de)
+    with byte-Levenshtein≤1 dedup — 'Belgien-*' collapses into
+    'Belgie-*' on even keys, 'Deutsch-*' survives on odd keys.
+    Exploded to (id, pos, cname) rows for portable hashing."""
+    n = _t(spark, sf_dir, "nation")
+    tags = F.create_map(
+        F.lit("ISO3166-1:alpha2"), F.lit("BE"),
+        F.lit("name:en"), F.concat(F.lit("Belgium-"), F.col("n_name")),
+        F.lit("name:nl"), F.concat(F.lit("Belgie-"), F.col("n_name")),
+        F.lit("name:fr"), F.concat(F.lit("Belgique-"), F.col("n_name")),
+        F.lit("name:de"),
+        F.when(F.col("n_nationkey") % 2 == 0,
+               F.concat(F.lit("Belgien-"), F.col("n_name")))
+        .otherwise(F.concat(F.lit("Deutsch-"), F.col("n_name"))))
+    arr = udf_country_name(tags, F.lit("en"), F.lit(False))
+    return (n.select(F.col("n_nationkey").alias("id"),
+                     F.posexplode(arr).alias("pos", "cname")))
+
+
+Q_COUNTRY_NAME_SQL = """
+WITH base AS (SELECT n_nationkey AS id, n_name FROM nation),
+names AS (
+  SELECT id, 0 AS pos, 'Belgium-' || n_name AS cname FROM base
+  UNION ALL SELECT id, 1, 'Belgie-' || n_name FROM base
+  UNION ALL SELECT id, 2, 'Belgique-' || n_name FROM base
+  UNION ALL SELECT id, 3, 'Deutsch-' || n_name FROM base WHERE id % 2 = 1)
+SELECT id, ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS pos, cname
+FROM names
+"""
+
+
+def q_placename_bilingual(spark, sf_dir):
+    """C2/C3b/C4 combined-name heuristic with an exact oracle: the
+    localized tag is found inside the generic name at a boundary, the
+    name:it variant is extracted by position, and the pair is formatted
+    with U+202A/U+202C LTR embedding marks."""
+    n = _t(spark, sf_dir, "nation")
+    tags = F.create_map(
+        F.lit("name:de"), F.concat(F.lit("Ober"), F.col("n_name")),
+        F.lit("name:it"), F.concat(F.lit("Bassa"), F.col("n_name")),
+        F.lit("name"), F.concat(F.lit("Bassa"), F.col("n_name"),
+                                F.lit(" / Ober"), F.col("n_name")))
+    out = udf_placename(
+        F.col("n_nationkey").cast("string"), F.to_json(tags), F.lit("de"),
+        F.lit(False), F.lit("\n"), F.lit(None).cast("double"),
+        F.lit(None).cast("double"))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    out.alias("combined"))
+
+
+Q_PLACENAME_BILINGUAL_SQL = """
+SELECT n_nationkey AS id,
+  chr(8234) || 'Ober' || n_name || chr(10) || 'Bassa' || n_name || chr(8236)
+    AS combined
+FROM nation
+"""
+
+
+def q_localize_latin(spark, sf_dir):
+    """Flagship pipeline with a full oracle on the latin subset:
+    latin-caption rows pass the cascade unchanged, and cell/tile ids are
+    pure morton bit-math — end-to-end plumbing verified value-exact."""
+    from .engine.localize import localize
+    d = _t(spark, sf_dir, "documents") \
+        .filter(~F.substring(F.col("text"), 1, 48).rlike(RE_NON_LATIN_SPARK))
+    staged = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.substring(F.col("text"), 1, 48).alias("caption"),
+        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
+        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
+        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+    return localize(staged, "de").select("image_id", "caption_l10n",
+                                         "cell_id", "tile_id")
+
+
+Q_LOCALIZE_LATIN_SQL = f"""
+WITH d AS (SELECT doc_id, substr(text, 1, 48) AS cap FROM documents
+           WHERE NOT regexp_matches(substr(text, 1, 48), '{RE_NON_LATIN_DUCK}')),
+p AS (SELECT doc_id, cap,
+  ((doc_id * 37) % 360) - 180 + 0.5 AS lon,
+  ((doc_id * 7) % 160) - 80 + 0.5 AS lat FROM d),
+gc AS (SELECT doc_id, cap, lon, lat,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS cx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 512) AS BIGINT), 0), 511) AS cy
+  FROM p),
+{_spread_sql('gc', 'cx', 'cy')},
+cells AS (SELECT doc_id, cap, lon, lat,
+  ((9::BIGINT << 58) | morton) AS cell_id FROM s5),
+gt AS (SELECT doc_id, cap, cell_id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536) AS BIGINT), 0), 65535) AS cx,
+  LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 65536) AS BIGINT), 0), 65535) AS cy
+  FROM cells),
+{_spread_sql('gt', 'cx', 'cy').replace('s1 AS', 't1 AS').replace('s2 AS', 't2 AS')
+    .replace('s3 AS', 't3 AS').replace('s4 AS', 't4 AS').replace('s5 AS', 't5 AS')
+    .replace('FROM s1', 'FROM t1').replace('FROM s2', 'FROM t2')
+    .replace('FROM s3', 'FROM t3').replace('FROM s4', 'FROM t4')}
+SELECT 'doc_' || doc_id AS image_id, cap AS caption_l10n, cell_id,
+  ((8::BIGINT << 58) | (morton >> 16)) AS tile_id
+FROM t5
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs with length-bucket blocking
+    (the quadratic-bounding pattern); doubled corpus guarantees
+    jaccard=1.0 pairs, natural near-dups surface below that."""
+    from .operators.dedup import ngram_jaccard_pairs, normalize_text
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    blk = F.floor(F.length(normalize_text(F.col("text"))) / 16)
+    return ngram_jaccard_pairs(doubled, "doc_id", "text", n=3,
+                               threshold=0.5, block_col=blk)
+
+
+Q_NGRAM_JACCARD_SQL = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM all_docs),
+blocked AS (SELECT doc_id, t, CAST(floor(length(t) / 16) AS BIGINT) AS blk
+            FROM norm),
+ix AS (SELECT doc_id, t, blk,
+  unnest(generate_series(1, GREATEST(length(t) - 2, 1))) AS i FROM blocked),
+sh AS (SELECT DISTINCT doc_id, blk, substr(t, CAST(i AS INTEGER), 3) AS sg
+       FROM ix),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS n_sh FROM sh GROUP BY 1, 2),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_int
+  FROM sh a JOIN sh b ON a.sg = b.sg AND a.blk = b.blk
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+  CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) >= 0.5
+"""
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs; ids only (cosine FP accumulation
+    order differs across engines, pair membership does not)."""
+    from .operators.dedup import embedding_dups
+    e = _t(spark, sf_dir, "embeddings").limit(200)
+    return embedding_dups(e, "vec_id", "embedding", threshold=0.35) \
+        .select("a_id", "b_id")
+
+
+Q_EMBEDDING_DUPS_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 200)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+
+def q_session_events(spark, sf_dir):
+    """Streaming-grade session windows (30-min gap) per user, batch
+    equivalence against a gaps-and-islands oracle."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                      "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+
+Q_SESSION_EVENTS_SQL = """
+WITH o AS (SELECT user_id, ts,
+  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            >= INTERVAL 30 MINUTE
+       THEN 1 ELSE 0 END AS brk
+  FROM events),
+g AS (SELECT user_id, ts,
+  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM g GROUP BY user_id, grp
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -542,6 +808,30 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(q, items, 3, dim=dim, n_bits=6, n_tables=6)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (inverted lists on deterministic coarse
+    centroids, nprobe cluster probing) — the second scale path beside
+    LSH; approximate, so rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = e.select(F.col("vec_id").alias("iid"), "embedding")
+    return ivf_topk(q, items, 3, n_centroids=16, nprobe=4)
+
+
+def q_image_features(spark, sf_dir):
+    """F23/multimodal: mapInPandas decode of opaque binary payloads with
+    typed metadata (engine codecs; real-world fmts stubbed), per-channel
+    stats + phash recomputation.  Input synthesized deterministically
+    (BASELINE.json input_hint shape) — no SQL oracle for pixel decoding;
+    integrity is separately pytest-asserted (PSNR + phash equality)."""
+    from .operators.multimodal import image_features
+    from .sources.datagen import generate_images
+    imgs = generate_images(spark, 300, seed=7)
+    return image_features(imgs).select("image_id", "fmt", "decoded",
+                                       "phash_check")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -568,6 +858,17 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ann_lsh": q_ann_lsh,
+    "q_abbrev_de": q_abbrev_de,
+    "q_abbrev_en": q_abbrev_en,
+    "q_abbrev_fr": q_abbrev_fr,
+    "q_country_name": q_country_name,
+    "q_placename_bilingual": q_placename_bilingual,
+    "q_localize_latin": q_localize_latin,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embedding_dups": q_embedding_dups,
+    "q_session_events": q_session_events,
+    "q_ann_ivf": q_ann_ivf,
+    "q_image_features": q_image_features,
 }
 
 ORACLES = {
@@ -590,6 +891,15 @@ ORACLES = {
     "q_dim_rollup": Q_DIM_ROLLUP_SQL,
     "q_antijoin_resume": Q_ANTIJOIN_SQL,
     "q_window_events": Q_WINDOW_EVENTS_SQL,
+    "q_abbrev_de": Q_ABBREV_DE_SQL,
+    "q_abbrev_en": Q_ABBREV_EN_SQL,
+    "q_abbrev_fr": Q_ABBREV_FR_SQL,
+    "q_country_name": Q_COUNTRY_NAME_SQL,
+    "q_placename_bilingual": Q_PLACENAME_BILINGUAL_SQL,
+    "q_localize_latin": Q_LOCALIZE_LATIN_SQL,
+    "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "q_embedding_dups": Q_EMBEDDING_DUPS_SQL,
+    "q_session_events": Q_SESSION_EVENTS_SQL,
 }
 
 

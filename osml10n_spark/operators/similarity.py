@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
 
 
 def _dot(a, b):
@@ -101,3 +101,63 @@ def lsh_topk(queries: DataFrame, items: DataFrame, k: int, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "iid", "cosine", "rank"))
+
+
+def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 2,
+             qid_col: str = "qid", iid_col: str = "iid",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse quantization + cluster-probed search.
+
+    Centroids are data-derived deterministically (every
+    ``ceil(N/n_centroids)``-th item by ascending id — reproducible under
+    any partitioning; a k-means refinement would slot in here without
+    changing the plan shape).  Items shuffle ONCE on their nearest
+    centroid (the inverted lists); queries probe their ``nprobe``
+    nearest centroids and equi-join the lists, then exact cosine +
+    window top-k refine.  At 100 TB the item→centroid assignment is a
+    broadcast join (centroid table is tiny) and the probe join shuffles
+    only by centroid id — candidates per query are bounded by
+    nprobe/n_centroids of the corpus instead of all items.
+    """
+    i = items.select(F.col(iid_col).alias("iid"),
+                     F.col(vec_col).alias("i_vec")) \
+        .withColumn("i_nrm", _norm(F.col("i_vec")))
+    # deterministic coarse centroids: rank items by id, take every
+    # ceil(N/n_centroids)-th — pure DataFrame ops, no collect of vectors
+    w_all = Window.orderBy(F.col("iid").asc())
+    ranked = i.withColumn("_rn", F.row_number().over(w_all))
+    n_items = items.count()
+    stride = max(1, (n_items + n_centroids - 1) // n_centroids)
+    cents = (ranked.filter((F.col("_rn") - 1) % stride == 0)
+             .select(F.col("_rn").alias("cent_rn"),
+                     F.col("i_vec").alias("c_vec"),
+                     F.col("i_nrm").alias("c_nrm"))
+             .withColumn("cid", ((F.col("cent_rn") - 1) / stride).cast("long"))
+             .drop("cent_rn"))
+
+    def _assign(df, vec, nrm, keep: int):
+        """nearest ``keep`` centroids by cosine (broadcast centroid dim)."""
+        sim = _dot(F.col(vec), F.col("c_vec")) / (F.col(nrm) * F.col("c_nrm"))
+        w = Window.partitionBy(*[c for c in df.columns if c not in
+                                 ("c_vec", "c_nrm", "cid")][:1]) \
+            .orderBy(F.col("_csim").desc(), F.col("cid").asc())
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("_csim", sim)
+                .withColumn("_crank", F.row_number().over(w))
+                .filter(F.col("_crank") <= keep)
+                .drop("c_vec", "c_nrm", "_csim", "_crank"))
+
+    inv = _assign(i, "i_vec", "i_nrm", 1)          # inverted lists
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("q_vec")) \
+        .withColumn("q_nrm", _norm(F.col("q_vec")))
+    probed = _assign(q, "q_vec", "q_nrm", nprobe)
+    cand = probed.join(inv, "cid") \
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
+                    / (F.col("q_nrm") * F.col("i_nrm")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("iid").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "iid", "cosine", "rank").distinct())
