@@ -80,21 +80,27 @@ def knn_geo(queries: DataFrame, items: DataFrame, k: int,
 
 def knn_cells(queries: DataFrame, items: DataFrame, k: int,
               res: int = 7, qid_col: str = "qid", iid_col: str = "iid",
-              max_rounds: int = 5) -> DataFrame:
+              max_rounds: int = 4, initial_ring: int | None = None) -> DataFrame:
     """Scalable kNN: k-ring candidate equi-join + exact refine (J5/W5).
 
-    Round r joins queries against items in cells within Chebyshev ring
-    radius 2^r of the query cell.  A query is DONE when it has ≥k
+    Each round joins queries against items in cells within Chebyshev
+    ring radius r of the query cell.  A query is DONE when it has ≥k
     candidates and its k-th squared distance ≤ (ring·cellsize)² — items
     outside the ring are provably farther.  Unresolved queries advance
-    to the next round; at ``max_rounds`` results are taken as-is
-    (world-spanning fallback: brute force the stragglers).
+    to the next round with a 4× ring; at ``max_rounds`` the stragglers
+    (sparse regions) fall back to brute force.
+
+    ``initial_ring`` defaults to a density-derived estimate: the ring
+    whose (2r+1)² cell neighborhood is expected to hold ≥4k candidates
+    at the observed mean occupancy, so sparse corpora don't waste
+    rounds climbing from ring 1 (on the clustered bench corpus mean
+    occupancy is high and the estimate stays at 1; end-to-end times
+    there are noise-equal to the previous ring-doubling loop, which
+    spent 3 actions/round vs 2 here).
 
     Equi-join on cell ids shuffles by cell — co-located, broadcast-free,
     skew handled by AQE.  Output: (qid, iid, dist2, rank).
     """
-    from ..spatial.cellindex import _grid_shape  # noqa: the cell size
-
     cell_h = 180.0 / (2 ** res)                   # cell size in degrees
 
     items_c = assign_cells(items, res).select(
@@ -106,9 +112,19 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         F.col(qid_col).alias("qid"), F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"), F.col("cell_id").alias("q_cell"))
 
-    results = None
-    ring = 1
+    ring = initial_ring
+    if ring is None:
+        occ = items_c.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("i_cell").alias("c")).collect()[0]
+        avg = occ.n / max(occ.c, 1)
+        ring = 1
+        while (2 * ring + 1) ** 2 * avg < 4.0 * k and ring < 8:
+            ring += 1
+
+    round_results: list[DataFrame] = []
     pending = pending.persist()
+    n_pending = None
     for rnd in range(max_rounds):
         ring_cells = _ring_cells_df(pending, ring)
         cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
@@ -126,32 +142,31 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         done_q = stats.filter((F.col("n") >= k) & (F.col("kth") <= F.lit(guard))) \
             .select("qid")
         done_rows = topk.join(F.broadcast(done_q), "qid") \
-            .select("qid", "iid", "dist2", "rank")
-        results = done_rows if results is None else results.unionByName(done_rows)
-        # materialize surviving results before dropping the round cache
-        results = results.persist()
-        n_pending_before = pending.count()
+            .select("qid", "iid", "dist2", "rank").persist()
+        done_rows.count()                 # materialize; topk can go
+        round_results.append(done_rows)
+        topk.unpersist()
         next_pending = pending.join(F.broadcast(done_q), "qid", "left_anti") \
             .persist()
-        n_pending = next_pending.count()
-        results.count()
-        topk.unpersist()
+        n_before, n_pending = n_pending, next_pending.count()
         pending.unpersist()
         pending = next_pending
         if n_pending == 0:
             break
-        if n_pending == n_pending_before and rnd >= 1:
+        if n_before is not None and n_pending == n_before:
             break                          # ring growth isn't resolving: bail
-        ring *= 2
-    if not pending.isEmpty():
+        ring *= 4
+    if n_pending != 0 and not pending.isEmpty():
         # stragglers (sparse regions): brute-force against all items
-        leftovers = knn_geo(
+        round_results.append(knn_geo(
             pending.select(F.col("qid"), F.col("q_lon").alias("lon"),
                            F.col("q_lat").alias("lat")),
             items_c.select(F.col("iid"), F.col("i_lon").alias("lon"),
                            F.col("i_lat").alias("lat")),
-            k, qid_col="qid", iid_col="iid", broadcast_items=False)
-        results = leftovers if results is None else results.unionByName(leftovers)
+            k, qid_col="qid", iid_col="iid", broadcast_items=False))
+    results = round_results[0]
+    for extra in round_results[1:]:
+        results = results.unionByName(extra)
     # materialize before releasing the caches the plan depends on
     results = results.persist()
     results.count()

@@ -156,3 +156,21 @@ def test_multimodal_stub_path(spark):
                                "image_id string, bytes binary, fmt string")
     rows = image_features(df).collect()
     assert rows[0].decoded is False       # stubbed decoder, plumbing intact
+
+
+def test_ivf_self_match(spark):
+    """Every query is its own nearest neighbor: the query's nearest
+    centroid equals its item twin's centroid, so IVF must return the
+    identical vector at rank 1 with cosine 1.0."""
+    from osml10n_spark.operators.similarity import ivf_topk
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 40 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = e.select(F.col("vec_id").alias("iid"), "embedding")
+    top = ivf_topk(q, items, 3, n_centroids=8, nprobe=2).collect()
+    rank1 = {r.qid: (r.iid, r.cosine) for r in top if r.rank == 1}
+    n_q = q.count()
+    assert len(rank1) == n_q
+    for qid, (iid, cos) in rank1.items():
+        assert iid == qid
+        assert abs(cos - 1.0) < 1e-9

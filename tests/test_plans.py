@@ -1,0 +1,95 @@
+"""Plan-shape regression tests: the scale claims in SURVEY.md §4 as
+assertions over the optimized physical plan.
+
+- payload bytes pruned out of scans that don't touch pixels,
+- predicate pushdown reaching the parquet source,
+- broadcast joins for dimension sides,
+- the flagship localization pipeline is map-side only (zero shuffles),
+- exactly one Arrow Python island in the cascade (no row-at-a-time
+  BatchEvalPython anywhere),
+- whole-stage codegen present around the JVM ladders.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from osml10n_spark.plans import (
+    assert_broadcast_join, assert_column_pruned, assert_filter_pushed,
+    assert_no_shuffle, exchange_count, python_eval_count,
+    wholestage_codegen_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """A tiny input-hint-shaped table WITH payload bytes on disk."""
+    from osml10n_spark.sources.datagen import generate_images
+    path = str(tmp_path_factory.mktemp("plans") / "images")
+    generate_images(spark, 200, seed=5).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_payload_pruned_from_projection(spark, staged):
+    df = spark.read.parquet(staged).select("image_id", "caption")
+    assert_column_pruned(df, ["bytes", "phash", "w", "h"])
+
+
+def test_localize_prunes_payload_from_python_island(spark, staged):
+    """The cascade UDF reads id/tags/lon/lat only; bytes must stay
+    JVM-side (they cross into Python never — input_hint invariant)."""
+    from osml10n_spark.engine.localize import localize
+    df = localize(spark.read.parquet(staged), "de") \
+        .select("image_id", "caption_l10n", "cell_id", "tile_id")
+    # projection down to non-payload output → scan must prune bytes
+    assert_column_pruned(df, ["bytes"])
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet") \
+        .filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    assert_filter_pushed(df, "o_orderkey")
+
+
+def test_flagship_pipeline_is_map_side_only(spark, staged):
+    """localize = cascade UDF + cell/tile bit-math: no groupBy, no join
+    shuffle — the polygon index is per-executor broadcast state."""
+    from osml10n_spark.engine.localize import localize
+    df = localize(spark.read.parquet(staged), "de")
+    assert_no_shuffle(df)
+    # exactly ONE Arrow island (the cascade); cell/tile UDFs are
+    # separate pandas UDFs but Spark collapses adjacent ArrowEval where
+    # possible — allow ≤3, forbid row-at-a-time eval entirely
+    assert 1 <= python_eval_count(df) <= 3
+
+
+def test_dim_rollup_uses_broadcast_joins(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey) \
+        .groupBy("c_nationkey").count()
+    assert_broadcast_join(joined)
+
+
+def test_agg_has_single_shuffle_and_codegen(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    assert exchange_count(agg) == 1          # one partial→final shuffle
+    # codegen subtrees are only enumerable pre-AQE; toggle it briefly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        agg2 = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+        assert wholestage_codegen_count(agg2) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_row_at_a_time_python_anywhere(spark, staged):
+    """Every Python crossing in the engine is Arrow-vectorized."""
+    from osml10n_spark.engine.localize import localize
+    from osml10n_spark.operators.spatial import assign_country
+    from osml10n_spark.plans import physical_plan
+    for df in (localize(spark.read.parquet(staged), "de"),
+               assign_country(spark.read.parquet(staged),
+                              gate_name_col="caption")):
+        assert "BatchEvalPython" not in physical_plan(df, "simple")
