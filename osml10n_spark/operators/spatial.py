@@ -84,11 +84,14 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
     """Scalable kNN: k-ring candidate equi-join + exact refine (J5/W5).
 
     Each round joins queries against items in cells within Chebyshev
-    ring radius r of the query cell.  A query is DONE when it has ≥k
-    candidates and its k-th squared distance ≤ (ring·cellsize)² — items
-    outside the ring are provably farther.  Unresolved queries advance
-    to the next round with a 4× ring; at ``max_rounds`` the stragglers
-    (sparse regions) fall back to brute force.
+    ring radius r (per query) of the query cell.  A query is DONE when
+    it has ≥k candidates and its k-th squared distance ≤ (ring·cell)² —
+    items outside the ring are provably farther.  Ring growth is
+    per-query adaptive: a query that already holds k candidates jumps
+    straight to ring' = ceil(sqrt(kth)/cell) — provably final next
+    round; candidate-starved queries grow 4×, and queries whose ring
+    would exceed MAX_RING route to the brute-force fallback instead of
+    exploding into thousands of candidate cells.
 
     ``initial_ring`` defaults to a density-derived estimate: the ring
     whose (2r+1)² cell neighborhood is expected to hold ≥4k candidates
@@ -122,11 +125,14 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         while (2 * ring + 1) ** 2 * avg < 4.0 * k and ring < 8:
             ring += 1
 
+    MAX_RING = 24                          # beyond this → brute force
     round_results: list[DataFrame] = []
-    pending = pending.persist()
+    stragglers: list[DataFrame] = []
+    defer_unpersist: list[DataFrame] = []
+    pending = pending.withColumn("ring", F.lit(ring)).persist()
     n_pending = None
     for rnd in range(max_rounds):
-        ring_cells = _ring_cells_df(pending, ring)
+        ring_cells = _ring_cells_df(pending)
         cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
                 .withColumn("dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
                                               F.col("i_lon"), F.col("i_lat"))))
@@ -135,32 +141,52 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)).persist()
         # a query is proven-complete when its worst kept distance fits
-        # inside the guaranteed ring radius
-        guard = (ring * cell_h) ** 2
+        # inside its own guaranteed ring radius
         stats = topk.groupBy("qid").agg(F.count("*").alias("n"),
                                         F.max("dist2").alias("kth"))
-        done_q = stats.filter((F.col("n") >= k) & (F.col("kth") <= F.lit(guard))) \
+        st = pending.select("qid", "ring").join(stats, "qid", "left") \
+            .fillna({"n": 0})
+        guard = (F.col("ring") * cell_h) ** 2
+        done_q = st.filter((F.col("n") >= k) & (F.col("kth") <= guard)) \
             .select("qid")
         done_rows = topk.join(F.broadcast(done_q), "qid") \
             .select("qid", "iid", "dist2", "rank").persist()
         done_rows.count()                 # materialize; topk can go
         round_results.append(done_rows)
         topk.unpersist()
-        next_pending = pending.join(F.broadcast(done_q), "qid", "left_anti") \
-            .persist()
+        # adaptive growth: a query that already holds k candidates only
+        # needs ring' ≥ sqrt(kth)/cell_h — round 2 is then provably
+        # final for it; candidate-starved queries grow 4×
+        new_ring = F.when(
+            F.col("n") >= k,
+            F.greatest(F.ceil(F.sqrt(F.col("kth")) / F.lit(cell_h)),
+                       F.col("ring") + 1)
+        ).otherwise(F.col("ring") * 4).cast("int")
+        unresolved = (pending.drop("ring")
+                      .join(st.filter((F.col("n") < k) | (F.col("kth") > guard))
+                            .select("qid", new_ring.alias("ring")), "qid")
+                      .persist())
+        # ring overflow → isolated queries: route to the brute-force
+        # fallback instead of joining thousands of cells per query
+        stragglers.append(unresolved.filter(F.col("ring") > MAX_RING)
+                          .drop("ring"))
+        next_pending = unresolved.filter(F.col("ring") <= MAX_RING).persist()
         n_before, n_pending = n_pending, next_pending.count()
         pending.unpersist()
+        defer_unpersist.append(unresolved)   # stragglers still reference it
         pending = next_pending
         if n_pending == 0:
             break
         if n_before is not None and n_pending == n_before:
             break                          # ring growth isn't resolving: bail
-        ring *= 4
-    if n_pending != 0 and not pending.isEmpty():
-        # stragglers (sparse regions): brute-force against all items
+    leftovers = pending.select("qid", "q_lon", "q_lat")
+    for s in stragglers:
+        leftovers = leftovers.unionByName(s.select("qid", "q_lon", "q_lat"))
+    if not leftovers.isEmpty():
+        # isolated/sparse-region queries: brute-force against all items
         round_results.append(knn_geo(
-            pending.select(F.col("qid"), F.col("q_lon").alias("lon"),
-                           F.col("q_lat").alias("lat")),
+            leftovers.select(F.col("qid"), F.col("q_lon").alias("lon"),
+                             F.col("q_lat").alias("lat")),
             items_c.select(F.col("iid"), F.col("i_lon").alias("lon"),
                            F.col("i_lat").alias("lat")),
             k, qid_col="qid", iid_col="iid", broadcast_items=False))
@@ -171,20 +197,25 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
     results = results.persist()
     results.count()
     pending.unpersist()
+    for df in defer_unpersist:
+        df.unpersist()
     items_c.unpersist()
     return results
 
 
-def _ring_cells_df(pending: DataFrame, ring: int) -> DataFrame:
-    """Explode each pending query into its k-ring neighbor cell ids."""
+def _ring_cells_df(pending: DataFrame) -> DataFrame:
+    """Explode each pending query into the neighbor cell ids of its
+    own (per-row) ring radius."""
     from ..spatial.cellindex import k_ring
 
     @pandas_udf(ArrayType(LongType()))
-    def ring_udf(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: [int(x) for x in k_ring(int(c), ring)])
+    def ring_udf(cells: pd.Series, rings: pd.Series) -> pd.Series:
+        return pd.Series([[int(x) for x in k_ring(int(c), int(r))]
+                          for c, r in zip(cells, rings)])
 
-    return (pending.withColumn("n_cell", F.explode(ring_udf(F.col("q_cell"))))
-            .select("qid", "q_lon", "q_lat", "n_cell"))
+    return (pending.withColumn(
+        "n_cell", F.explode(ring_udf(F.col("q_cell"), F.col("ring"))))
+        .select("qid", "q_lon", "q_lat", "n_cell"))
 
 
 def pip_join_rects(points: DataFrame, rects: list, lon_col: str = "lon",
