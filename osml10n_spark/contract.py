@@ -683,6 +683,49 @@ FROM t5
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join: for every click event, the newest
+    error event at-or-before it for the same user — single-shuffle
+    union+carry-forward-window formulation, proven against DuckDB's
+    native ASOF JOIN."""
+    from .operators.temporal import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", "value")
+    return asof_join(clicks, errors, "user_id", "ts", ["value"]) \
+        .select("event_id", "user_id", "asof_ts", "asof_value")
+
+
+Q_ASOF_JOIN_SQL = """
+SELECT c.event_id, c.user_id, e.ts AS asof_ts, e.value AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_radius_join(spark, sf_dir):
+    """Distance-range spatial join (all pairs within 2°) via ring-1
+    cell equi-join + exact refine — no cross join."""
+    from .operators.spatial import radius_join
+    pts = _points(spark, sf_dir)
+    sample = pts.filter(F.col("id") % 17 == 0)
+    return radius_join(sample, pts, 2.0, lid_col="id", rid_col="id")
+
+
+Q_RADIUS_JOIN_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+sample AS (SELECT * FROM pts WHERE id % 17 = 0)
+SELECT s.id AS lid, p.id AS rid,
+  (s.lon - p.lon) * (s.lon - p.lon) + (s.lat - p.lat) * (s.lat - p.lat) AS dist2
+FROM sample s CROSS JOIN pts p
+WHERE (s.lon - p.lon) * (s.lon - p.lon) + (s.lat - p.lat) * (s.lat - p.lat)
+      <= 4.0
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs with length-bucket blocking
     (the quadratic-bounding pattern); doubled corpus guarantees
@@ -869,6 +912,8 @@ QUERIES = {
     "q_session_events": q_session_events,
     "q_ann_ivf": q_ann_ivf,
     "q_image_features": q_image_features,
+    "q_asof_join": q_asof_join,
+    "q_radius_join": q_radius_join,
 }
 
 ORACLES = {
@@ -900,6 +945,8 @@ ORACLES = {
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_embedding_dups": Q_EMBEDDING_DUPS_SQL,
     "q_session_events": Q_SESSION_EVENTS_SQL,
+    "q_asof_join": Q_ASOF_JOIN_SQL,
+    "q_radius_join": Q_RADIUS_JOIN_SQL,
 }
 
 

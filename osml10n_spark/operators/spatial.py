@@ -25,6 +25,7 @@ from ..udfs import udf_cell_id, udf_country_gated, udf_country_lookup, udf_tile_
 __all__ = [
     "assign_country", "assign_cells", "assign_tiles",
     "knn_geo", "knn_cells", "cell_histogram", "salted_key",
+    "radius_join", "pip_join_rects",
 ]
 
 
@@ -240,6 +241,37 @@ def pip_join_rects(points: DataFrame, rects: list, lon_col: str = "lon",
                          dtype=object)
 
     return points.withColumn(out_col, rect_cc(F.col(lon_col), F.col(lat_col)))
+
+
+def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
+                lid_col: str = "lid", rid_col: str = "rid") -> DataFrame:
+    """Distance-range spatial join: all (left, right) pairs within
+    ``radius_deg`` (euclidean degrees, matching the kNN metric).
+
+    Scale shape: pick the coarsest cell resolution whose cell edge ≥
+    radius, so ring-1 neighborhoods are guaranteed to cover the radius;
+    explode left into its 3×3 neighbor cells and equi-join right on
+    cell id (ONE shuffle, no cross join), then exact distance refine.
+    Output: (lid, rid, dist2).
+    """
+    res = 1
+    while 180.0 / (2 ** (res + 1)) >= radius_deg and res < 16:
+        res += 1                            # finest res with cell ≥ radius
+    l = assign_cells(left, res).select(
+        F.col(lid_col).alias("qid"), F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"), F.col("cell_id").alias("q_cell"),
+        F.lit(1).alias("ring"))
+    ring_cells = _ring_cells_df(l)
+    r = assign_cells(right, res).select(
+        F.col(rid_col).alias("rid"), F.col("lon").alias("r_lon"),
+        F.col("lat").alias("r_lat"), F.col("cell_id").alias("r_cell"))
+    pairs = (ring_cells.join(r, ring_cells.n_cell == r.r_cell)
+             .withColumn("dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
+                                           F.col("r_lon"), F.col("r_lat")))
+             .filter(F.col("dist2") <= radius_deg * radius_deg)
+             .select(F.col("qid").alias("lid"), "rid", "dist2")
+             .distinct())
+    return pairs
 
 
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:

@@ -174,3 +174,38 @@ def test_ivf_self_match(spark):
     for qid, (iid, cos) in rank1.items():
         assert iid == qid
         assert abs(cos - 1.0) < 1e-9
+
+
+def test_asof_join_semantics(spark):
+    """Newest right row at-or-before each left ts, per key; 'left' keeps
+    unmatched rows with nulls, 'inner' drops them."""
+    from osml10n_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [("l1", 1, 10), ("l2", 1, 25), ("l3", 2, 5)],
+        "lid string, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 7, "c")],
+        "k long, ts long, v string")
+    out = {r.lid: (r.asof_ts, r.asof_v) for r in
+           asof_join(left, right, "k", "ts", ["v"], how="left").collect()}
+    assert out["l1"] == (10, "a")        # equal ts matches (>= semantics)
+    assert out["l2"] == (20, "b")        # newest at-or-before
+    assert out["l3"] == (None, None)     # right row is in the future
+    inner = asof_join(left, right, "k", "ts", ["v"], how="inner")
+    assert {r.lid for r in inner.collect()} == {"l1", "l2"}
+
+
+def test_radius_join_matches_bruteforce(spark):
+    from osml10n_spark.operators.spatial import radius_join
+    pts = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+        .selectExpr("c_custkey AS id",
+                    "((c_custkey * 37) % 360) - 180 + 0.5 AS lon",
+                    "((c_custkey * 7) % 160) - 80 + 0.5 AS lat")
+    got = {(r.lid, r.rid) for r in
+           radius_join(pts.filter(F.col("id") % 7 == 0), pts, 3.0,
+                       lid_col="id", rid_col="id").collect()}
+    rows = pts.collect()
+    sample = [r for r in rows if r.id % 7 == 0]
+    want = {(s.id, r.id) for s in sample for r in rows
+            if (s.lon - r.lon) ** 2 + (s.lat - r.lat) ** 2 <= 9.0}
+    assert got == want
