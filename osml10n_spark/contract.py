@@ -726,6 +726,46 @@ WHERE (s.lon - p.lon) * (s.lon - p.lon) + (s.lat - p.lat) * (s.lat - p.lat)
 """
 
 
+def q_polygon_cover(spark, sf_dir):
+    """Polygon covering index (J1 scale path / J6): sound cell cover of
+    synthetic rectangles from nation keys at res 6 — for axis-aligned
+    rects the cover is exactly the bbox cell window, its frame cells
+    boundary and the rest interior, so SQL can re-derive it including
+    the packed morton ids."""
+    from .operators.spatial import polygon_cover_table
+    from .spatial.geometry import pack_polygon
+    rects = [(r.n_name,
+              ((r.n_nationkey * 53) % 300) - 170.0,
+              ((r.n_nationkey * 29) % 140) - 80.0)
+             for r in _t(spark, sf_dir, "nation").collect()]
+    polys = [pack_polygon(cc, [[(x0, y0), (x0 + 15.0, y0),
+                                (x0 + 15.0, y0 + 15.0), (x0, y0 + 15.0),
+                                (x0, y0)]])
+             for cc, x0, y0 in rects]
+    return polygon_cover_table(spark, polys, res=6)
+
+
+Q_POLYGON_COVER_SQL = f"""
+WITH sq AS (SELECT n_name AS cc,
+  ((n_nationkey * 53) % 300) - 170.0 AS x0,
+  ((n_nationkey * 29) % 140) - 80.0 AS y0 FROM nation),
+fr AS (SELECT cc, x0, y0,
+  CAST(floor((x0 + 180.0) / 360.0 * 128) AS BIGINT) AS fx0,
+  CAST(floor((x0 + 15.0 + 180.0) / 360.0 * 128) AS BIGINT) AS fx1,
+  CAST(floor((y0 + 90.0) / 180.0 * 64) AS BIGINT) AS fy0,
+  CAST(floor((y0 + 15.0 + 90.0) / 180.0 * 64) AS BIGINT) AS fy1 FROM sq),
+cells AS (SELECT cc, x0, y0, fx0, fx1, fy0, fy1,
+  unnest(generate_series(fx0, fx1)) AS cx FROM fr),
+g AS (SELECT cc, x0, y0, fx0, fx1, fy0, fy1, cx,
+  unnest(generate_series(fy0, fy1)) AS cy FROM cells),
+{_spread_sql('g', 'cx', 'cy')}
+SELECT cc, ((6::BIGINT << 58) | morton) AS cell_id,
+  CASE WHEN cx IN (fx0, fx1) OR cy IN (fy0, fy1)
+       THEN 'boundary' ELSE 'interior' END AS kind
+FROM s5
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs with length-bucket blocking
     (the quadratic-bounding pattern); doubled corpus guarantees
@@ -914,6 +954,7 @@ QUERIES = {
     "q_image_features": q_image_features,
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
+    "q_polygon_cover": q_polygon_cover,
 }
 
 ORACLES = {
@@ -947,6 +988,7 @@ ORACLES = {
     "q_session_events": Q_SESSION_EVENTS_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,
     "q_radius_join": Q_RADIUS_JOIN_SQL,
+    "q_polygon_cover": Q_POLYGON_COVER_SQL,
 }
 
 

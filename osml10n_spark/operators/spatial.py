@@ -274,6 +274,23 @@ def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
     return pairs
 
 
+def polygon_cover_table(spark, polys: list, res: int = 9) -> DataFrame:
+    """The scale path for J1 (SURVEY.md §2.3): precompute each polygon's
+    sound cell cover → a small (cc, cell_id, kind) dimension joinable
+    on cell_id.  Points in *interior* cells resolve by the equi-join
+    alone; only *boundary*-cell points need ray-cast refinement.  Built
+    driver-side like the daemon's startup geometry prep (polygon dims
+    are small); broadcast by Spark at join time."""
+    from ..spatial.cellindex import polygon_cover
+
+    rows = []
+    for p in polys:
+        interior, boundary = polygon_cover(p, res)
+        rows += [(p.cc, int(c), "interior") for c in interior]
+        rows += [(p.cc, int(c), "boundary") for c in boundary]
+    return spark.createDataFrame(rows, "cc string, cell_id long, kind string")
+
+
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
     """Heavy-cell detection feeding the salting decision (SURVEY.md §4)."""
     return df.groupBy(cell_col).agg(F.count("*").alias("n_rows")) \
