@@ -93,3 +93,29 @@ def test_no_row_at_a_time_python_anywhere(spark, staged):
                assign_country(spark.read.parquet(staged),
                               gate_name_col="caption")):
         assert "BatchEvalPython" not in physical_plan(df, "simple")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory, staged):
+    """Pre-bucketing both sides on cell_id makes the join shuffle-free
+    (co-located scan), the strategy for repeated big-big joins at 100 TB
+    — broadcast disabled so the proof is the bucketing, not a BHJ."""
+    from osml10n_spark.operators.spatial import assign_cells
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    cells = assign_cells(spark.read.parquet(staged), res=5) \
+        .select("image_id", "cell_id", "caption")
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    cells.write.bucketBy(8, "cell_id").sortBy("cell_id") \
+        .option("path", f"{wh}/b_left").mode("overwrite").saveAsTable("b_left")
+    cells.groupBy("cell_id").count().write.bucketBy(8, "cell_id") \
+        .option("path", f"{wh}/b_right").mode("overwrite").saveAsTable("b_right")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_left").join(spark.table("b_right"), "cell_id")
+        assert exchange_count(joined) == 0, "bucketed join must not shuffle"
+        assert joined.count() == spark.table("b_left").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
