@@ -237,6 +237,84 @@ FROM c
 """
 
 
+def q_abbrev_uk(spark, sf_dir):
+    """F7 ukrainian street abbreviation (literal substring replaces)."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 4 == 0,
+                       F.concat(F.lit("провулок "), F.col("n_name")))
+                .when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.col("n_name"), F.lit(" вулиця")))
+                .when(F.col("n_nationkey") % 4 == 2,
+                      F.concat(F.lit("площа "), F.col("n_name")))
+                .otherwise(F.concat(F.col("n_name"), F.lit(" набережна"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("uk")).alias("abbrev"))
+
+
+Q_ABBREV_UK_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 4
+    WHEN 0 THEN 'пров. ' || n_name
+    WHEN 1 THEN n_name || ' вул.'
+    WHEN 2 THEN 'пл. ' || n_name
+    ELSE n_name || ' наб.' END AS abbrev
+FROM nation
+"""
+
+
+def q_abbrev_all(spark, sf_dir):
+    """F8-F10 abbreviator compositions (latin ∘ non_latin): mixed-script
+    street names through street_abbrev_all."""
+    n = _t(spark, sf_dir, "nation")
+    longname = (F.when(F.col("n_nationkey") % 4 == 0,
+                       F.concat(F.lit("улица "), F.col("n_name"),
+                                F.lit(" Street")))
+                .when(F.col("n_nationkey") % 4 == 1,
+                      F.concat(F.lit("Professor-"), F.col("n_name"),
+                               F.lit("-Platz Road")))
+                .when(F.col("n_nationkey") % 4 == 2,
+                      F.concat(F.lit("Avenue "), F.col("n_name")))
+                .otherwise(F.concat(F.lit("вулиця "), F.col("n_name"),
+                                    F.lit(" Straße"))))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_street_abbrev(longname, F.lit("all")).alias("abbrev"))
+
+
+Q_ABBREV_ALL_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 4
+    WHEN 0 THEN 'ул. ' || n_name || ' St.'
+    WHEN 1 THEN 'Prof.-' || n_name || '-Pl. Rd.'
+    WHEN 2 THEN 'Av. ' || n_name
+    ELSE 'вул. ' || n_name || ' Str.' END AS abbrev
+FROM nation
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew pattern with exact parity: hot key spread over 8 salts,
+    partial aggregation per (key, salt), exact final merge — result
+    equals the direct group-by the oracle runs."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderkey") % 3 == 0, F.lit("HOT")) \
+        .otherwise(F.concat(F.lit("k"), (F.col("o_orderkey") % 50).cast("string")))
+    salted = o.select(key.alias("key"),
+                      F.pmod(F.col("o_orderkey"), F.lit(8)).alias("salt"),
+                      F.col("o_orderkey").alias("v"))
+    partial = salted.groupBy("key", "salt").agg(
+        F.sum("v").alias("psum"), F.count("*").alias("pn"))
+    return partial.groupBy("key").agg(F.sum("psum").alias("total"),
+                                      F.sum("pn").alias("n"))
+
+
+Q_SALTED_AGG_SQL = """
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'HOT'
+            ELSE 'k' || CAST(o_orderkey % 50 AS VARCHAR) END AS key,
+       SUM(o_orderkey) AS total, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 def q_pip_squares(spark, sf_dir):
     """J1 point-in-polygon join against caller polygons (synthetic
     squares from nation keys) — ray-cast on the Spark side, range
@@ -955,6 +1033,9 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,
+    "q_abbrev_uk": q_abbrev_uk,
+    "q_abbrev_all": q_abbrev_all,
+    "q_salted_agg": q_salted_agg,
 }
 
 ORACLES = {
@@ -989,6 +1070,9 @@ ORACLES = {
     "q_asof_join": Q_ASOF_JOIN_SQL,
     "q_radius_join": Q_RADIUS_JOIN_SQL,
     "q_polygon_cover": Q_POLYGON_COVER_SQL,
+    "q_abbrev_uk": Q_ABBREV_UK_SQL,
+    "q_abbrev_all": Q_ABBREV_ALL_SQL,
+    "q_salted_agg": Q_SALTED_AGG_SQL,
 }
 
 

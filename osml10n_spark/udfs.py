@@ -265,11 +265,26 @@ def udf_unaccent(s: pd.Series) -> pd.Series:
     return s.map(lambda v: _unaccent(v) if v is not None else None)
 
 
+_ABBREV_COMPOSED = {
+    "latin": _abbrev.street_abbrev_latin,          # en ∘ de ∘ fr (F8)
+    "non_latin": _abbrev.street_abbrev_non_latin,  # ru ∘ uk (F9)
+    "all": _abbrev.street_abbrev_all,              # latin ∘ non_latin (F10)
+}
+
+
 @pandas_udf(StringType())
 def udf_street_abbrev(name: pd.Series, lang: pd.Series) -> pd.Series:
-    return pd.Series([
-        _abbrev.street_abbrev(n, lg) if n is not None else None
-        for n, lg in zip(name, lang)])
+    """Per-language abbreviation (F2-F7); the pseudo-langs 'latin',
+    'non_latin' and 'all' select the reference's compositions F8-F10."""
+    out = []
+    for n, lg in zip(name, lang):
+        if n is None:
+            out.append(None)
+        elif lg in _ABBREV_COMPOSED:
+            out.append(_ABBREV_COMPOSED[lg](n))
+        else:
+            out.append(_abbrev.street_abbrev(n, lg))
+    return pd.Series(out)
 
 
 @pandas_udf(BooleanType())
