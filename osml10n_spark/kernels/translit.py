@@ -17,6 +17,7 @@ import unicodedata
 from .scripts import contains_cjk, contains_thai
 from .translit_data import (
     CYRILLIC,
+    GEORGIAN,
     GREEK,
     HAN_PINYIN,
     JP_WORDS,
@@ -25,6 +26,7 @@ from .translit_data import (
     THAI_WORDS,
     _JP_MAX_WORD,
     _THAI_MAX_WORD,
+    hangul_to_latin,
     kana_to_romaji,
 )
 
@@ -111,6 +113,12 @@ def generic_transliterate(s: str) -> str:
             run = [HAN_PINYIN.get(ch, ch) for ch in s[i:j]]
             out.append(" ".join(run))
             i = j
+        elif 0xAC00 <= ord(c) <= 0xD7A3:
+            out.append(hangul_to_latin(c))
+            i += 1
+        elif c in GEORGIAN:
+            out.append(GEORGIAN[c])
+            i += 1
         else:
             out.append(c)
             i += 1

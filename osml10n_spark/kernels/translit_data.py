@@ -207,3 +207,58 @@ THAI_WORDS = {
     "กรุงเทพ": "krungthep", "เชียงใหม่": "chiangmai",
 }
 _THAI_MAX_WORD = max(len(k) for k in THAI_WORDS)
+
+
+# ------------------------------------------------------------------
+# South-Slavic / historic Cyrillic extras (ISO 9:1995, same system as
+# the table above) — Скопје → Skopǰe, Ђаковица → Đakovica.
+CYRILLIC.update({
+    "Ђ": "Đ", "ђ": "đ", "Ѓ": "Ǵ", "ѓ": "ǵ", "Ѕ": "Ẑ", "ѕ": "ẑ",
+    "Ј": "J̌", "ј": "ǰ", "Љ": "L̂", "љ": "l̂", "Њ": "N̂", "њ": "n̂",
+    "Ћ": "Ć", "ћ": "ć", "Ќ": "Ḱ", "ќ": "ḱ", "Џ": "D̂", "џ": "d̂",
+    "Ѣ": "Ě", "ѣ": "ě", "Ѳ": "F̀", "ѳ": "f̀", "Ѵ": "Ỳ", "ѵ": "ỳ",
+    # common Turkic-language extras (ISO 9)
+    "Ә": "A̋", "ә": "a̋", "Ғ": "Ġ", "ғ": "ġ", "Қ": "Ķ", "қ": "ķ",
+    "Ң": "N̦", "ң": "n̦", "Ө": "Ô", "ө": "ô", "Ү": "Ù", "ү": "ù",
+    "Һ": "Ḥ", "һ": "ḥ", "Ӏ": "‡",
+})
+
+# ------------------------------------------------------------------
+# Hangul → Latin (Revised Romanization jamo tables; syllables decompose
+# arithmetically from U+AC00).  서울 → seoul, 부산 → busan.
+HANGUL_INITIALS = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s",
+                   "ss", "", "j", "jj", "ch", "k", "t", "p", "h"]
+HANGUL_MEDIALS = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o",
+                  "wa", "wae", "oe", "yo", "u", "wo", "we", "wi", "yu",
+                  "eu", "ui", "i"]
+HANGUL_FINALS = ["", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg",
+                 "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "bs",
+                 "s", "ss", "ng", "j", "ch", "k", "t", "p", "h"]
+
+
+def hangul_to_latin(text: str) -> str:
+    """Revised-Romanization of precomposed Hangul syllables; other
+    characters pass through unchanged."""
+    out = []
+    for c in text:
+        cp = ord(c)
+        if 0xAC00 <= cp <= 0xD7A3:
+            s = cp - 0xAC00
+            out.append(HANGUL_INITIALS[s // 588]
+                       + HANGUL_MEDIALS[(s % 588) // 28]
+                       + HANGUL_FINALS[s % 28])
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+# ------------------------------------------------------------------
+# Georgian mkhedruli → Latin (Georgian national system, 2002).
+GEORGIAN = {
+    "ა": "a", "ბ": "b", "გ": "g", "დ": "d", "ე": "e", "ვ": "v", "ზ": "z",
+    "თ": "t", "ი": "i", "კ": "k'", "ლ": "l", "მ": "m", "ნ": "n", "ო": "o",
+    "პ": "p'", "ჟ": "zh", "რ": "r", "ს": "s", "ტ": "t'", "უ": "u",
+    "ფ": "p", "ქ": "k", "ღ": "gh", "ყ": "q'", "შ": "sh", "ჩ": "ch",
+    "ც": "ts", "ძ": "dz", "წ": "ts'", "ჭ": "ch'", "ხ": "kh", "ჯ": "j",
+    "ჰ": "h",
+}

@@ -260,3 +260,24 @@ def test_get_streetname_from_tags(expected, tags, last, sep, lang):
 ])
 def test_get_localized_name_from_tags(expected, tags, lang, place):
     assert get_localized_name_from_tags("", tags, lang, place) == expected
+
+
+# ------------------------------------------------------------ bonus
+# script coverage beyond the reference goldens (ISO 9 South-Slavic,
+# Hangul Revised Romanization, Georgian national system)
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("src,expected", [
+    ("Скопје", "Skopǰe"),
+    ("Ђаковица", "Đakovica"),
+    ("Љубљана", "L̂ubl̂ana"),
+    ("서울", "seoul"),
+    ("부산", "busan"),
+    ("თბილისი", "tbilisi"),
+])
+def test_extended_script_transliteration(src, expected):
+    from osml10n_spark.kernels.translit import generic_transliterate
+    import unicodedata
+    assert unicodedata.normalize("NFC", generic_transliterate(src)) \
+        == unicodedata.normalize("NFC", expected)
