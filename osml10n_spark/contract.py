@@ -926,6 +926,60 @@ FROM g GROUP BY user_id, grp
 """
 
 
+
+def q_streetname_bilingual(spark, sf_dir):
+    """C3a street variant of the combined-name heuristic: per-tag
+    language dispatch abbreviates the de side (straße→str.) while the
+    it side passes through — formatted with ' - ' and LTR marks."""
+    from .udfs import udf_streetname
+    n = _t(spark, sf_dir, "nation")
+    tags = F.create_map(
+        F.lit("name:de"), F.concat(F.lit("Ober"), F.col("n_name"),
+                                   F.lit("straße")),
+        F.lit("name:it"), F.concat(F.lit("Bassa"), F.col("n_name"),
+                                   F.lit("gasse")),
+        F.lit("name"), F.concat(F.lit("Bassa"), F.col("n_name"),
+                                F.lit("gasse / Ober"), F.col("n_name"),
+                                F.lit("straße")))
+    out = udf_streetname(
+        F.col("n_nationkey").cast("string"), F.to_json(tags), F.lit("de"),
+        F.lit(False), F.lit(" - "), F.lit(None).cast("double"),
+        F.lit(None).cast("double"))
+    return n.select(F.col("n_nationkey").alias("id"), out.alias("combined"))
+
+
+Q_STREETNAME_BILINGUAL_SQL = """
+SELECT n_nationkey AS id,
+  chr(8234) || 'Ober' || n_name || 'str. - Bassa' || n_name || 'gasse'
+    || chr(8236) AS combined
+FROM nation
+"""
+
+
+def q_sql_registered(spark, sf_dir):
+    """S6 SQL bridge: the reference's PL/Python stored function becomes
+    spark.sql-registered UDFs (osml10n_*) — the whole query runs through
+    the SQL surface, not the DataFrame API."""
+    from .udfs import register_all
+    register_all(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT n_nationkey AS id,
+               osml10n_unaccent('Besançon-' || n_name) AS unaccented,
+               osml10n_street_abbrev(n_name || ' Street', 'en') AS abbrev,
+               osml10n_is_latin(n_name) AS latin
+        FROM nation_v""")
+
+
+Q_SQL_REGISTERED_SQL = """
+SELECT n_nationkey AS id,
+       strip_accents('Besançon-' || n_name) AS unaccented,
+       n_name || ' St.' AS abbrev,
+       TRUE AS latin
+FROM nation
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -1036,6 +1090,8 @@ QUERIES = {
     "q_abbrev_uk": q_abbrev_uk,
     "q_abbrev_all": q_abbrev_all,
     "q_salted_agg": q_salted_agg,
+    "q_streetname_bilingual": q_streetname_bilingual,
+    "q_sql_registered": q_sql_registered,
 }
 
 ORACLES = {
@@ -1073,6 +1129,8 @@ ORACLES = {
     "q_abbrev_uk": Q_ABBREV_UK_SQL,
     "q_abbrev_all": Q_ABBREV_ALL_SQL,
     "q_salted_agg": Q_SALTED_AGG_SQL,
+    "q_streetname_bilingual": Q_STREETNAME_BILINGUAL_SQL,
+    "q_sql_registered": Q_SQL_REGISTERED_SQL,
 }
 
 
