@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.scripts import RE_NON_LATIN
-from ..udfs import udf_cell_id, udf_placename, udf_streetname, udf_tile_id
+from ..udfs import make_cascade_udf, udf_cell_id, udf_tile_id
 
 __all__ = ["localize"]
 
@@ -53,13 +53,14 @@ def localize(df: DataFrame, target_lang: str = "en", *,
     name = F.element_at(tags, "name")
     target_tag = F.element_at(tags, F.lit("name:" + target_lang))
 
-    udf = udf_streetname if is_street else udf_placename
     # tags travel to Python as a JSON string: Arrow map-type writes
     # contend on the shared JVM allocator and anti-scale (see
-    # udfs._batch_localize); to_json is whole-stage-codegen JVM work
-    slow = udf(F.col(id_col), F.to_json(tags), F.lit(target_lang),
-               F.lit(localized_name_last), F.lit(separator),
-               F.col(lon_col), F.col(lat_col))
+    # udfs._batch_localize); to_json is whole-stage-codegen JVM work.
+    # Job constants (target/order/sep) are closed over in the UDF, not
+    # shipped per row — the Arrow stream is (tags_json, lon, lat) only.
+    udf = make_cascade_udf("streetname" if is_street else "placename",
+                           target_lang, localized_name_last, separator)
+    slow = udf(F.to_json(tags), F.col(lon_col), F.col(lat_col))
 
     if fast_path and not is_street:
         # physical fast/slow split (see module docstring point 2)

