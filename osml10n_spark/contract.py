@@ -980,6 +980,37 @@ FROM nation
 """
 
 
+
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell rollup (hypertable-style multi-resolution
+    aggregation): res-9 histogram rolled up to res-6 parents with pure
+    JVM bit math (parent = res tag swap + morton >> 2*(9-6)) — no
+    re-indexing of the points."""
+    pts = _points(spark, sf_dir)
+    fine = cell_histogram(assign_cells(pts, res=9))
+    morton = F.col("cell_id").bitwiseAND(F.lit((1 << 58) - 1))
+    parent = F.lit(6 << 58).bitwiseOR(F.shiftrightunsigned(morton, 6))
+    return (fine.withColumn("parent_cell", parent)
+            .groupBy("parent_cell")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.count("*").alias("n_child_cells")))
+
+
+Q_CELL_ROLLUP_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS tx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 512) AS BIGINT), 0), 511) AS ty
+  FROM pts),
+{_spread_sql('g', 'tx', 'ty')},
+fine AS (SELECT ((9::BIGINT << 58) | morton) AS cell_id, COUNT(*) AS n_rows
+         FROM s5 GROUP BY 1)
+SELECT ((6::BIGINT << 58) | ((cell_id & {(1 << 58) - 1}) >> 6)) AS parent_cell,
+       SUM(n_rows) AS n_rows, COUNT(*) AS n_child_cells
+FROM fine GROUP BY 1
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -1092,6 +1123,7 @@ QUERIES = {
     "q_salted_agg": q_salted_agg,
     "q_streetname_bilingual": q_streetname_bilingual,
     "q_sql_registered": q_sql_registered,
+    "q_cell_rollup": q_cell_rollup,
 }
 
 ORACLES = {
@@ -1131,6 +1163,7 @@ ORACLES = {
     "q_salted_agg": Q_SALTED_AGG_SQL,
     "q_streetname_bilingual": Q_STREETNAME_BILINGUAL_SQL,
     "q_sql_registered": Q_SQL_REGISTERED_SQL,
+    "q_cell_rollup": Q_CELL_ROLLUP_SQL,
 }
 
 

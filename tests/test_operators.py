@@ -209,3 +209,48 @@ def test_radius_join_matches_bruteforce(spark):
     want = {(s.id, r.id) for s in sample for r in rows
             if (s.lon - r.lon) ** 2 + (s.lat - r.lat) ** 2 <= 9.0}
     assert got == want
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """On clusterable data (10 tight clusters) the ANN paths must find
+    ≥90% of the exact top-3 — quality bar for lsh_topk/ivf_topk."""
+    import numpy as np
+    from osml10n_spark.operators.similarity import (cosine_topk, ivf_topk,
+                                                    lsh_topk)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32))
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        rows.append((i, (c + 0.05 * rng.standard_normal(32)).tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") % 40 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = e.select(F.col("vec_id").alias("iid"), "embedding")
+    exact = {(r.qid, r.iid) for r in cosine_topk(q, items, 3).collect()}
+    for ann in (lsh_topk(q, items, 3, dim=32, n_bits=6, n_tables=6),
+                ivf_topk(q, items, 3, n_centroids=10, nprobe=3)):
+        got = {(r.qid, r.iid) for r in ann.collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, recall
+
+
+def test_localize_robust_to_degenerate_rows(spark):
+    """Nulls, empty tags, empty captions: no exceptions, '' out, payload
+    columns untouched (the daemon's per-request error→'' contract C8)."""
+    from osml10n_spark.engine.localize import localize
+    rows = [
+        ("a", None, None, 0.0, 0.0),
+        ("b", "", {}, None, None),
+        ("c", "x", {"name": ""}, 1.0, 1.0),
+        ("d", None, {"name:de": None, "name": "Ok"}, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, tags map<string,string>, "
+              "lon double, lat double")
+    out = {r.image_id: r.caption_l10n
+           for r in localize(df, "de").collect()}
+    assert out["a"] == ""          # null tags → ''
+    assert out["b"] == ""          # empty map → no name → ''
+    assert out["c"] == ""          # empty name passes through as ''
+    assert out["d"] == "Ok"        # null-valued target tag skipped
