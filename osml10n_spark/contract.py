@@ -1045,6 +1045,35 @@ def q_minhash_pairs(spark, sf_dir):
                              jaccard_threshold=0.8)
 
 
+Q_MINHASH_PAIRS_SQL = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM all_docs),
+ix AS (SELECT doc_id, t,
+  unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i FROM norm),
+sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS sg FROM ix),
+b AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band),
+sig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sg)) AS mh
+        FROM sh CROSS JOIN b GROUP BY doc_id, band),
+cand AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id, COUNT(*) AS band_matches
+         FROM sig a JOIN sig b2 ON a.band = b2.band AND a.mh = b2.mh
+                               AND a.doc_id < b2.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS n_int
+          FROM sh s1 JOIN sh s2 ON s1.sg = s2.sg AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2)
+SELECT c.a_id, c.b_id, c.band_matches,
+       CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) AS jaccard
+FROM cand c
+JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+JOIN sizes sa ON sa.doc_id = c.a_id
+JOIN sizes sb ON sb.doc_id = c.b_id
+WHERE CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) >= 0.8
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0) \
@@ -1164,6 +1193,7 @@ ORACLES = {
     "q_streetname_bilingual": Q_STREETNAME_BILINGUAL_SQL,
     "q_sql_registered": Q_SQL_REGISTERED_SQL,
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
+    "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
 }
 
 
