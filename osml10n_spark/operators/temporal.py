@@ -29,6 +29,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     Output = all left columns + right's ``payload_cols`` prefixed
     ``asof_`` + ``asof_ts``.  ``how='left'`` keeps unmatched left rows
     (nulls); ``'inner'`` drops them.  One shuffle on ``key_col``.
+
+    Determinism note: among multiple right rows sharing (key, ts) the
+    carried payload is arbitrary (matching pandas merge_asof, which the
+    differential test uses as reference) — pre-dedup the right side on
+    (key, ts) when that matters.
     """
     if payload_cols is None:
         payload_cols = [c for c in right.columns

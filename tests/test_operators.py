@@ -254,3 +254,30 @@ def test_localize_robust_to_degenerate_rows(spark):
     assert out["b"] == ""          # empty map → no name → ''
     assert out["c"] == ""          # empty name passes through as ''
     assert out["d"] == "Ok"        # null-valued target tag skipped
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized differential test: asof_join == pandas.merge_asof
+    (backward, allow_exact_matches) per key."""
+    import numpy as np
+    import pandas as pd
+    from osml10n_spark.operators.temporal import asof_join
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "lid": [f"l{i}" for i in range(200)],
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 10_000, 200)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "ts": np.sort(rng.choice(20_000, 300, replace=False)),  # unique ts
+        "v": [f"v{i}" for i in range(300)]})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right), "k", "ts", ["v"],
+                    how="left").toPandas()
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="k", direction="backward",
+                        allow_exact_matches=True)
+    gmap = dict(zip(got["lid"], got["asof_v"]))
+    emap = dict(zip(exp["lid"], exp["v"]))
+    assert all((gmap[l] == emap[l]) or (pd.isna(gmap[l]) and pd.isna(emap[l]))
+               for l in emap)
