@@ -887,7 +887,9 @@ def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs; ids only (cosine FP accumulation
     order differs across engines, pair membership does not)."""
     from .operators.dedup import embedding_dups
-    e = _t(spark, sf_dir, "embeddings").limit(200)
+    # orderBy before limit: a bare limit takes arbitrary rows and only
+    # coincidentally matches the oracle's ORDER BY ... LIMIT subset
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
     return embedding_dups(e, "vec_id", "embedding", threshold=0.35) \
         .select("a_id", "b_id")
 

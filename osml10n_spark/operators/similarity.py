@@ -122,19 +122,20 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
     """
     i = items.select(F.col(iid_col).alias("iid"),
                      F.col(vec_col).alias("i_vec")) \
-        .withColumn("i_nrm", _norm(F.col("i_vec")))
-    # deterministic coarse centroids: rank items by id, take every
-    # ceil(N/n_centroids)-th — pure DataFrame ops, no collect of vectors
-    w_all = Window.orderBy(F.col("iid").asc())
-    ranked = i.withColumn("_rn", F.row_number().over(w_all))
-    n_items = items.count()
-    stride = max(1, (n_items + n_centroids - 1) // n_centroids)
-    cents = (ranked.filter((F.col("_rn") - 1) % stride == 0)
-             .select(F.col("_rn").alias("cent_rn"),
-                     F.col("i_vec").alias("c_vec"),
-                     F.col("i_nrm").alias("c_nrm"))
-             .withColumn("cid", ((F.col("cent_rn") - 1) / stride).cast("long"))
-             .drop("cent_rn"))
+        .withColumn("i_nrm", _norm(F.col("i_vec"))).persist()
+    # deterministic coarse centroids: the n_centroids items with the
+    # smallest id hash — orderBy().limit() is a distributed TakeOrdered
+    # reduction (a global-window rank here would funnel every item
+    # through one partition); the id-sorted window below ranks only the
+    # n_centroids selected rows
+    picked = i.orderBy(F.xxhash64("iid").asc(), F.col("iid").asc()) \
+        .limit(n_centroids)
+    cents = (picked.withColumn(
+        "cid", F.row_number().over(Window.orderBy(F.col("iid").asc()))
+        .cast("long") - 1)
+        .select("cid", F.col("i_vec").alias("c_vec"),
+                F.col("i_nrm").alias("c_nrm"))
+        .persist())
 
     def _assign(df, vec, nrm, keep: int):
         """nearest ``keep`` centroids by cosine (broadcast centroid dim)."""
@@ -158,6 +159,10 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
                     / (F.col("q_nrm") * F.col("i_nrm")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("iid").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "iid", "cosine", "rank").distinct())
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("qid", "iid", "cosine", "rank").distinct()).persist()
+    out.count()                  # materialize, then release the caches
+    i.unpersist()
+    cents.unpersist()
+    return out

@@ -152,9 +152,12 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
             .select("qid")
         done_rows = topk.join(F.broadcast(done_q), "qid") \
             .select("qid", "iid", "dist2", "rank").persist()
-        done_rows.count()                 # materialize; topk can go
+        done_rows.count()
         round_results.append(done_rows)
-        topk.unpersist()
+        # topk also feeds stats→unresolved/next_pending below; release
+        # it only after those are materialized (else the candidate join
+        # + window re-execute when next_pending.count() runs)
+        defer_unpersist.append(topk)
         # adaptive growth: a query that already holds k candidates only
         # needs ring' ≥ sqrt(kth)/cell_h — round 2 is then provably
         # final for it; candidate-starved queries grow 4×
@@ -194,12 +197,15 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
     results = round_results[0]
     for extra in round_results[1:]:
         results = results.unionByName(extra)
-    # materialize before releasing the caches the plan depends on
+    # materialize before releasing the caches the plan depends on;
+    # results itself stays persisted for the caller
     results = results.persist()
     results.count()
     pending.unpersist()
     for df in defer_unpersist:
         df.unpersist()
+    for df in round_results:
+        df.unpersist()          # no-op for the unpersisted leftovers frame
     items_c.unpersist()
     return results
 
@@ -254,13 +260,19 @@ def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
     cell id (ONE shuffle, no cross join), then exact distance refine.
     Output: (lid, rid, dist2).
     """
+    import math
+
     res = 1
     while 180.0 / (2 ** (res + 1)) >= radius_deg and res < 16:
         res += 1                            # finest res with cell ≥ radius
+    # normally ring 1; for radius > the coarsest cell edge (90°) the
+    # ring widens so coverage stays sound instead of silently dropping
+    # far pairs
+    ring = max(1, math.ceil(radius_deg / (180.0 / (2 ** res))))
     l = assign_cells(left, res).select(
         F.col(lid_col).alias("qid"), F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"), F.col("cell_id").alias("q_cell"),
-        F.lit(1).alias("ring"))
+        F.lit(ring).alias("ring"))
     ring_cells = _ring_cells_df(l)
     r = assign_cells(right, res).select(
         F.col(rid_col).alias("rid"), F.col("lon").alias("r_lon"),

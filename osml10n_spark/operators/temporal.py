@@ -40,17 +40,21 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
                         if c not in (key_col, ts_col)]
     lcols = left.columns
 
+    # The right row travels as ONE struct so last(ignoreNulls) picks the
+    # newest right row ATOMICALLY — per-column carry would resurrect an
+    # older non-null value when the matched row's payload is NULL, and
+    # could stitch fields from different rows.
+    r_struct_type = F.struct(
+        F.col(ts_col).alias("ts"),
+        *[F.col(c).alias(c) for c in payload_cols])
     l_tag = left.withColumn("_src", F.lit(1)) \
-        .withColumn("_asof_ts", F.lit(None).cast(right.schema[ts_col].dataType))
-    for c in payload_cols:
-        l_tag = l_tag.withColumn(f"_p_{c}",
-                                 F.lit(None).cast(right.schema[c].dataType))
+        .withColumn("_r", F.lit(None).cast(
+            right.select(r_struct_type.alias("_r")).schema["_r"].dataType))
     r_tag = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_src"),
-        F.col(ts_col).alias("_asof_ts"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols])
+        r_struct_type.alias("_r"))
     for c in lcols:
         if c not in (key_col, ts_col):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -61,10 +65,12 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = u.select(
         *lcols, "_src",
-        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in payload_cols])
-    out = carried.filter(F.col("_src") == 1).drop("_src")
+        F.last("_r", ignorenulls=True).over(w).alias("_rc"))
+    out = carried.filter(F.col("_src") == 1).select(
+        *lcols, "_src",
+        F.col("_rc.ts").alias("asof_ts"),
+        *[F.col(f"_rc.{c}").alias(f"asof_{c}") for c in payload_cols]) \
+        .drop("_src")
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out

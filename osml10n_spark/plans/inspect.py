@@ -106,10 +106,10 @@ def assert_filter_pushed(df: DataFrame, needle: str) -> None:
 
 def assert_no_shuffle(df: DataFrame) -> None:
     simple = physical_plan(df, "simple")
-    if "Exchange hashpartitioning" in simple \
-            or "Exchange rangepartitioning" in simple \
-            or "Exchange RoundRobin" in simple:
-        _fail("plan contains a shuffle exchange", df)
+    for marker in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                   "Exchange RoundRobin", "Exchange SinglePartition"):
+        if marker in simple:
+            _fail("plan contains a shuffle exchange", df)
 
 
 def assert_broadcast_join(df: DataFrame) -> None:

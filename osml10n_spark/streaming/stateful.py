@@ -35,6 +35,7 @@ def dedup_stream(stream_df: DataFrame, key_col: str, id_col: str,
     cols = stream_df.columns
     out_schema = out_schema or ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in stream_df.schema.fields)
+    id_type = stream_df.schema[id_col].dataType.simpleString()
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
@@ -50,7 +51,7 @@ def dedup_stream(stream_df: DataFrame, key_col: str, id_col: str,
     return (stream_df.groupBy(key_col)
             .applyInPandasWithState(
                 fn, outputStructType=out_schema,
-                stateStructType="ids array<string>",
+                stateStructType=f"ids array<{id_type}>",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 

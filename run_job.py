@@ -65,10 +65,13 @@ def main(argv: list[str] | None = None) -> None:
         make_zip(args.make_zip)
         return
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
+    submitted = SparkConf()          # carries spark-submit --conf values
     b = SparkSession.builder.appName("osml10n-localize")
     for k, v in ENGINE_DEFAULTS.items():
-        b = b.config(k, v)
+        if not submitted.contains(k):    # --conf wins over engine defaults
+            b = b.config(k, v)
     spark = b.getOrCreate()
 
     from osml10n_spark.engine.job import run_localization_job

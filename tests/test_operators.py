@@ -281,3 +281,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     emap = dict(zip(exp["lid"], exp["v"]))
     assert all((gmap[l] == emap[l]) or (pd.isna(gmap[l]) and pd.isna(emap[l]))
                for l in emap)
+
+
+def test_asof_join_null_payload_not_resurrected(spark):
+    """The matched right row's NULL payload must come through as NULL —
+    not an older row's non-null value (atomic row carry)."""
+    from osml10n_spark.operators.temporal import asof_join
+    left = spark.createDataFrame([("l1", 1, 25)], "lid string, k long, ts long")
+    right = spark.createDataFrame([(1, 10, "a"), (1, 20, None)],
+                                  "k long, ts long, v string")
+    row = asof_join(left, right, "k", "ts", ["v"], how="left").collect()[0]
+    assert row.asof_ts == 20 and row.asof_v is None
+
+
+def test_radius_join_wide_radius_covers(spark):
+    """radius > coarsest cell edge (90°) must widen the ring, not drop
+    far pairs."""
+    from osml10n_spark.operators.spatial import radius_join
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 0.0), (3, 170.0, 0.0)],
+        "id long, lon double, lat double")
+    got = {(r.lid, r.rid) for r in
+           radius_join(pts, pts, 120.0, lid_col="id", rid_col="id").collect()}
+    assert (1, 2) in got and (2, 3) in got and (2, 1) in got
+    assert (1, 3) not in got          # 170° > 120°

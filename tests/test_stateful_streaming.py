@@ -24,8 +24,9 @@ def stream_dirs(spark, tmp_path):
     return src, tmp_path / "chk"
 
 
-def _run_stream(spark, src, chk, transform, name):
-    stream = (spark.readStream.schema("image_id string, cell_id long")
+def _run_stream(spark, src, chk, transform, name,
+                schema="image_id string, cell_id long"):
+    stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(f"{src}/*"))
     q = (transform(stream).writeStream.format("memory")
@@ -56,3 +57,19 @@ def test_running_cell_counts_accumulate(spark, stream_dirs):
     final = out.sort_values("n_total").groupby("cell").tail(1)
     totals = dict(zip(final["cell"], final["n_total"]))
     assert totals == {1: 5, 2: 4}
+
+
+def test_dedup_stream_numeric_ids(spark, tmp_path):
+    """State schema follows the id column's type (long ids here)."""
+    from osml10n_spark.streaming.stateful import dedup_stream
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    spark.createDataFrame([(10, 1), (11, 1)], "image_id long, cell_id long") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(10, 1), (12, 1)], "image_id long, cell_id long") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    out = _run_stream(spark, src, tmp_path / "nchk",
+                      lambda s: dedup_stream(s, "cell_id", "image_id"),
+                      "dedup_num_sink",
+                      schema="image_id long, cell_id long")
+    assert sorted(out["image_id"].tolist()) == [10, 11, 12]
