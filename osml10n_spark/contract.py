@@ -1013,6 +1013,28 @@ FROM fine GROUP BY 1
 """
 
 
+
+def q_percentiles(spark, sf_dir):
+    """Per-group exact distribution stats (median/p90 via SQL
+    percentile; interpolation is bit-identical to DuckDB's
+    quantile_cont) — the sketch-input shape for per-cell size/quality
+    monitoring at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.expr("percentile(o_totalprice, 0.5)").alias("med_price"),
+                 F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+                 F.count("*").alias("n")))
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS med_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -1155,6 +1177,7 @@ QUERIES = {
     "q_streetname_bilingual": q_streetname_bilingual,
     "q_sql_registered": q_sql_registered,
     "q_cell_rollup": q_cell_rollup,
+    "q_percentiles": q_percentiles,
 }
 
 ORACLES = {
@@ -1196,6 +1219,7 @@ ORACLES = {
     "q_sql_registered": Q_SQL_REGISTERED_SQL,
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
+    "q_percentiles": Q_PERCENTILES_SQL,
 }
 
 
