@@ -1035,6 +1035,51 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+
+def q_cube_revenue(spark, sf_dir):
+    """Grouping-sets coverage (SURVEY §2.4 note): CUBE over
+    priority × orderstatus with exact decimal revenue — Catalyst
+    expands the grouping sets; DuckDB runs the identical CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+Q_CUBE_REVENUE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_running_window(spark, sf_dir):
+    """Window frames beyond top-k: per-user running event count and
+    3-row moving value sum ordered by time (exact decimal arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.count("*").over(run).alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(mov)
+        .cast("double").alias("mov_sum"))
+
+
+Q_RUNNING_WINDOW_SQL = """
+SELECT event_id, user_id,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS n_so_far,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+FROM events
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -1178,6 +1223,8 @@ QUERIES = {
     "q_sql_registered": q_sql_registered,
     "q_cell_rollup": q_cell_rollup,
     "q_percentiles": q_percentiles,
+    "q_cube_revenue": q_cube_revenue,
+    "q_running_window": q_running_window,
 }
 
 ORACLES = {
@@ -1220,6 +1267,8 @@ ORACLES = {
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
+    "q_cube_revenue": Q_CUBE_REVENUE_SQL,
+    "q_running_window": Q_RUNNING_WINDOW_SQL,
 }
 
 
