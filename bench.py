@@ -71,14 +71,15 @@ def _run_flagship(spark, staged_dir: str, part: int | None = None,
 
 
 def worker_main(cores: int, staged: str) -> None:
-    """One warm-up + min-of-3 timed runs (the sandbox VM has bursty CPU
-    availability; a single sample can be off by 5-10x)."""
+    """One warm-up + min-of-2 timed runs per worker; the interleaved
+    2-repeat schedule in main() gives 4 samples/level total (the
+    sandbox VM has bursty CPU; single samples can be off by 5-10x)."""
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
-    # warm-up on slice 3; timed runs on disjoint slices 0-2 (cold memos)
+    # warm-up on slice 3; timed runs on disjoint slices (cold memos)
     _run_flagship(spark, staged, part=3)
     best, n = None, 0
-    for part in range(3):
+    for part in range(2):
         sec, n = _run_flagship(spark, staged, part=part)
         best = sec if best is None else min(best, sec)
     print(json.dumps({"cores": cores, "sec": best, "rows": n,

@@ -761,6 +761,17 @@ FROM t5
 """
 
 
+def q_payload_audit(spark, sf_dir):
+    """input_hint integrity invariant as a driver-visible query: decode
+    every synthesized payload, recompute phash, assert-match against
+    the stored value (lossless fmts) / decode-viability (jpegq).  All
+    rows must come back ok=true; PSNR≥40dB is separately pytest-gated."""
+    from .operators.multimodal import verify_payload
+    from .sources.datagen import generate_images
+    imgs = generate_images(spark, 300, seed=7)
+    return verify_payload(imgs).select("image_id", "fmt", "ok")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of (point-in-time) join: for every click event, the newest
     error event at-or-before it for the same user — single-shuffle
@@ -1213,6 +1224,7 @@ QUERIES = {
     "q_session_events": q_session_events,
     "q_ann_ivf": q_ann_ivf,
     "q_image_features": q_image_features,
+    "q_payload_audit": q_payload_audit,
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,
