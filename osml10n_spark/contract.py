@@ -23,7 +23,7 @@ from .operators.spatial import (assign_cells, cell_histogram, knn_cells,
 from .operators.textops import (add_script_flags, fingerprint, lang_id,
                                 quality_score, token_count)
 from .udfs import (udf_country_name, udf_placename, udf_street_abbrev,
-                   udf_tile_id, udf_unaccent)
+                   udf_unaccent)
 
 # ------------------------------------------------------------------ helpers
 
@@ -367,8 +367,8 @@ SELECT qid, iid, rank FROM r WHERE rank <= 5
 def q_tile_assign(spark, sf_dir):
     """J6: raster tile assignment via z-order bit interleave."""
     pts = _points(spark, sf_dir)
-    tiled = pts.withColumn("tile_id",
-                           udf_tile_id(F.col("lon"), F.col("lat"), 8, 16))
+    from .spatial.cellexpr import tile_expr
+    tiled = pts.withColumn("tile_id", tile_expr(F.col("lon"), F.col("lat"), 8, 16))
     return tiled.groupBy("tile_id").agg(F.count("*").alias("n"))
 
 

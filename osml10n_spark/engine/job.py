@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..udfs import udf_cell_id
+from ..spatial.cellexpr import cell_expr
 from .localize import localize
 from .metrics import lineage, observe_localization
 from .snapshots import SnapshotStore
@@ -27,7 +27,7 @@ PREFIX_RES = 2       # 8×4 world buckets → snapshot partition groups
 def add_cell_prefix(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
                     out_col: str = "cell_prefix") -> DataFrame:
     return df.withColumn(out_col,
-                         udf_cell_id(F.col(lon_col), F.col(lat_col), PREFIX_RES))
+                         cell_expr(F.col(lon_col), F.col(lat_col), PREFIX_RES))
 
 
 def run_localization_job(spark: SparkSession, images: DataFrame, store_root: str,

@@ -20,8 +20,10 @@ Plan shape (all declarative; Catalyst handles pruning/codegen):
     ``when(cond, fast).otherwise(udf)`` does NOT gate a pandas UDF —
     ArrowEvalPython is hoisted and evaluated for every row — hence the
     physical split.
- 3. cell_id / tile_id assignment (numpy bit-math UDFs) and optional
-    repartition by cell prefix for write locality (z-order clustering).
+ 3. cell_id / tile_id assignment as pure JVM bit-math expressions
+    (whole-stage codegen, bit-identical to the numpy kernels) and
+    optional repartition by cell prefix for write locality (z-order
+    clustering).
 
 The image payload columns (bytes/w/h/fmt/phash) are carried through
 untouched — integrity is asserted by tests/test_pipeline.py via PSNR
@@ -32,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.scripts import RE_NON_LATIN
-from ..udfs import make_cascade_udf, udf_cell_id, udf_tile_id
+from ..udfs import make_cascade_udf
 
 __all__ = ["localize"]
 
@@ -73,11 +75,13 @@ def localize(df: DataFrame, target_lang: str = "en", *,
     else:
         out = df.withColumn(out_col, slow)
     if add_cells:
+        # pure JVM bit math (whole-stage codegen) — no Python crossing
+        from ..spatial.cellexpr import cell_expr, tile_expr
         out = out.withColumn("cell_id",
-                             udf_cell_id(F.col(lon_col), F.col(lat_col), cell_res))
+                             cell_expr(F.col(lon_col), F.col(lat_col), cell_res))
         out = out.withColumn("tile_id",
-                             udf_tile_id(F.col(lon_col), F.col(lat_col),
-                                         tile_z, tile_maxz))
+                             tile_expr(F.col(lon_col), F.col(lat_col),
+                                       tile_z, tile_maxz))
     if repartition_by_cell:
         # co-locate cells for write locality; z-order within partitions
         out = (out.repartition(F.col("cell_id"))

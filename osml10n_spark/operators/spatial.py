@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from ..udfs import udf_cell_id, udf_country_gated, udf_country_lookup, udf_tile_id
+from ..udfs import udf_country_gated, udf_country_lookup
 
 __all__ = [
     "assign_country", "assign_cells", "assign_tiles",
@@ -42,12 +42,16 @@ def assign_country(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
 
 def assign_cells(df: DataFrame, res: int = 9, lon_col: str = "lon",
                  lat_col: str = "lat", out_col: str = "cell_id") -> DataFrame:
-    return df.withColumn(out_col, udf_cell_id(F.col(lon_col), F.col(lat_col), res))
+    """Cell assignment as a pure JVM expression (whole-stage codegen;
+    bit-identical to the numpy kernel — tests/test_spatial.py)."""
+    from ..spatial.cellexpr import cell_expr
+    return df.withColumn(out_col, cell_expr(F.col(lon_col), F.col(lat_col), res))
 
 
 def assign_tiles(df: DataFrame, z: int = 8, maxz: int = 16, lon_col: str = "lon",
                  lat_col: str = "lat", out_col: str = "tile_id") -> DataFrame:
-    return df.withColumn(out_col, udf_tile_id(F.col(lon_col), F.col(lat_col), z, maxz))
+    from ..spatial.cellexpr import tile_expr
+    return df.withColumn(out_col, tile_expr(F.col(lon_col), F.col(lat_col), z, maxz))
 
 
 def _sq_dist(qlon, qlat, ilon, ilat):

@@ -1,0 +1,76 @@
+"""Cell / tile / z-order ids as pure JVM column expressions.
+
+Bit-identical to the numpy kernels in cellindex.py (same clip→floor→
+morton-spread pipeline; property-tested against them), but evaluated
+inside whole-stage codegen — no Python worker, no Arrow transfer.  This
+is the hot-path variant used by assign_cells/assign_tiles; the numpy
+versions remain for driver-side index construction (covers, k-rings).
+
+All masks fit in the positive int64 range except the alternating-bit
+masks _M4/_M5, which are still positive (0x3... / 0x5...), so plain
+int64 bitwise ops reproduce the uint64 math exactly: inputs are ≤32-bit
+non-negative, every intermediate stays below 2^62.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["cell_expr", "tile_expr", "zorder_expr", "parent_expr"]
+
+_M1 = 0x0000FFFF0000FFFF
+_M2 = 0x00FF00FF00FF00FF
+_M3 = 0x0F0F0F0F0F0F0F0F
+_M4 = 0x3333333333333333
+_M5 = 0x5555555555555555
+_RES_SHIFT = 58
+
+
+def _spread(x: Column) -> Column:
+    x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(_M1))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(_M2))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(_M3))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(_M4))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(_M5))
+    return x
+
+
+def _clipped_idx(v: Column, lo_shift: float, scale: float, n: int) -> Column:
+    ix = F.floor((v + F.lit(lo_shift)) / F.lit(scale) * F.lit(n)).cast("long")
+    return F.greatest(F.least(ix, F.lit(n - 1)), F.lit(0))
+
+
+def _morton(lon: Column, lat: Column, nx: int, ny: int) -> Column:
+    ix = _clipped_idx(lon, 180.0, 360.0, nx)
+    iy = _clipped_idx(lat, 90.0, 180.0, ny)
+    return _spread(ix).bitwiseOR(F.shiftleft(_spread(iy), 1))
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """JVM twin of cellindex.cell_from_lonlat (int64 cell id)."""
+    return F.lit(res << _RES_SHIFT).bitwiseOR(
+        _morton(lon, lat, 2 ** (res + 1), 2 ** res)).cast("long")
+
+
+def zorder_expr(lon: Column, lat: Column, z: int = 16) -> Column:
+    """JVM twin of cellindex.zorder_key: y runs north→south (tile
+    convention), full-depth morton at zoom ``z``."""
+    n = 2 ** z
+    ix = _clipped_idx(lon, 180.0, 360.0, n)
+    iy = _clipped_idx(-lat, 90.0, 180.0, n)      # (90 - lat) flip
+    return _spread(ix).bitwiseOR(F.shiftleft(_spread(iy), 1)).cast("long")
+
+
+def tile_expr(lon: Column, lat: Column, z: int = 8, maxz: int = 16) -> Column:
+    """JVM twin of cellindex.tile_from_lonlat: z-order prefix at zoom z
+    of the maxz-depth key, tagged with z."""
+    return F.lit(z << _RES_SHIFT).bitwiseOR(
+        F.shiftrightunsigned(zorder_expr(lon, lat, maxz),
+                             2 * (maxz - z))).cast("long")
+
+
+def parent_expr(cell: Column, res: int, parent_res: int) -> Column:
+    """JVM twin of cellindex.cell_to_parent for known resolutions."""
+    morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    return F.lit(parent_res << _RES_SHIFT).bitwiseOR(
+        F.shiftrightunsigned(morton, 2 * (res - parent_res))).cast("long")

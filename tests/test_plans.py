@@ -57,10 +57,9 @@ def test_flagship_pipeline_is_map_side_only(spark, staged):
     from osml10n_spark.engine.localize import localize
     df = localize(spark.read.parquet(staged), "de")
     assert_no_shuffle(df)
-    # exactly ONE Arrow island (the cascade); cell/tile UDFs are
-    # separate pandas UDFs but Spark collapses adjacent ArrowEval where
-    # possible — allow ≤3, forbid row-at-a-time eval entirely
-    assert 1 <= python_eval_count(df) <= 3
+    # exactly ONE Arrow island (the cascade) — cell/tile ids are pure
+    # JVM bit-math expressions since spatial/cellexpr.py
+    assert python_eval_count(df) == 1
 
 
 def test_dim_rollup_uses_broadcast_joins(spark):
