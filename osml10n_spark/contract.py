@@ -342,6 +342,22 @@ GROUP BY p.id
 """
 
 
+
+def q_pip_cover(spark, sf_dir):
+    """J1 via the cover equi-join strategy (interior cells = pure
+    broadcast hash join, boundary cells = targeted ray-cast) — same
+    semantics and ORACLE as q_pip_squares, different physical plan."""
+    from .operators.spatial import pip_join_via_cover
+    rects = [(r.n_name,
+              ((r.n_nationkey * 53) % 300) - 170.0,
+              ((r.n_nationkey * 29) % 140) - 80.0,
+              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
+              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
+             for r in _t(spark, sf_dir, "nation").collect()]
+    pts = _points(spark, sf_dir)
+    return pip_join_via_cover(pts, rects, res=8).select("pid", "cc")
+
+
 def q_knn_geo(spark, sf_dir):
     """J5/W5: kNN via cell k-ring expansion + exact refine (the scale
     path), checked against a brute-force SQL oracle."""
@@ -1197,6 +1213,7 @@ QUERIES = {
     "q_unaccent": q_unaccent,
     "q_abbrev_ru": q_abbrev_ru,
     "q_pip_squares": q_pip_squares,
+    "q_pip_cover": q_pip_cover,
     "q_knn_geo": q_knn_geo,
     "q_tile_assign": q_tile_assign,
     "q_cell_histogram": q_cell_histogram,
@@ -1247,6 +1264,7 @@ ORACLES = {
     "q_unaccent": Q_UNACCENT_SQL,
     "q_abbrev_ru": Q_ABBREV_RU_SQL,
     "q_pip_squares": Q_PIP_SQUARES_SQL,
+    "q_pip_cover": Q_PIP_SQUARES_SQL,   # same semantics, different physical plan
     "q_knn_geo": Q_KNN_GEO_SQL,
     "q_tile_assign": Q_TILE_ASSIGN_SQL,
     "q_cell_histogram": Q_CELL_HISTOGRAM_SQL,

@@ -25,7 +25,8 @@ from ..udfs import udf_country_gated, udf_country_lookup
 __all__ = [
     "assign_country", "assign_cells", "assign_tiles",
     "knn_geo", "knn_cells", "cell_histogram", "salted_key",
-    "radius_join", "pip_join_rects",
+    "radius_join", "pip_join_rects", "pip_join_via_cover",
+    "polygon_cover_table",
 ]
 
 
@@ -369,6 +370,57 @@ def polygon_cover_table(spark, polys: list, res: int = 9) -> DataFrame:
         rows += [(p.cc, int(c), "interior") for c in interior]
         rows += [(p.cc, int(c), "boundary") for c in boundary]
     return spark.createDataFrame(rows, "cc string, cell_id long, kind string")
+
+
+def pip_join_via_cover(points: DataFrame, rects: list, res: int = 8,
+                       id_col: str = "id", lon_col: str = "lon",
+                       lat_col: str = "lat", out_col: str = "cc") -> DataFrame:
+    """J1 as a cover EQUI-join (the SURVEY §2.3 scale plan): points in
+    a polygon's *interior* cells resolve from the broadcast
+    (cell_id → cc) dimension alone — no geometry math; only points in
+    *boundary* cells ray-cast, and only against the polygons whose
+    cover produced the row.  Same first-containing/sorted-cc/''-miss
+    semantics as pip_join_rects (shared oracle), different physical
+    strategy: broadcast hash join + a Python island sized by the
+    boundary fraction instead of the whole input.
+    """
+    from ..spatial.geometry import pack_polygon
+
+    spark = points.sparkSession
+    polys = [pack_polygon(cc, [[(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                                (x0, y0)]])
+             for cc, x0, y0, x1, y1 in rects]
+    by_cc = {p.cc: p for p in polys}
+    cover = polygon_cover_table(spark, polys, res)
+
+    pts = points.select(F.col(id_col).alias("pid"),
+                        F.col(lon_col).alias("lon"),
+                        F.col(lat_col).alias("lat"))
+    pts_c = assign_cells(pts, res)
+    j = pts_c.join(F.broadcast(cover), "cell_id")
+    interior_hits = j.filter(F.col("kind") == "interior") \
+        .select("pid", "cc")
+
+    @pandas_udf("boolean")
+    def _contains(cc: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.zeros(len(cc), dtype=bool)
+        for c in cc.unique():
+            m = (cc == c).to_numpy()
+            poly = by_cc.get(c)
+            if poly is not None and m.any():
+                out[m] = poly.contains(lon.to_numpy(dtype=float)[m],
+                                       lat.to_numpy(dtype=float)[m])
+        return pd.Series(out)
+
+    refined = (j.filter(F.col("kind") == "boundary")
+               .withColumn("inside", _contains(F.col("cc"), F.col("lon"),
+                                               F.col("lat")))
+               .filter(F.col("inside")).select("pid", "cc"))
+    hits = interior_hits.unionByName(refined) \
+        .groupBy("pid").agg(F.min("cc").alias(out_col))
+    return (pts.select("pid").join(hits, "pid", "left")
+            .fillna({out_col: ""}))
 
 
 def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
