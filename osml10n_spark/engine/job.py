@@ -9,7 +9,7 @@ resumes from the manifest and produces the identical final table
 """
 from __future__ import annotations
 
-import json
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,16 +52,16 @@ def run_localization_job(spark: SparkSession, images: DataFrame, store_root: str
         observed, obs = observe_localization(out)
         result = observed.repartition(F.col("cell_prefix")) \
             .sortWithinPartitions("cell_id", "tile_id")
-        lin = lineage(result)
-        manifest = store.commit(result, batch_keys,
-                                metrics={})
-        # Observation values are available after the commit action ran
+        manifest = store.commit(result, batch_keys, metrics={})
+        # Observation values are available after the commit action ran;
+        # the store owns the manifest rewrite
         manifest["metrics"] = {k: (int(v) if v is not None else None)
                                for k, v in obs.get.items()}
-        with open(os.path.join(store_root, "snapshots",
-                               manifest["snapshot_id"] + ".json"), "w") as f:
-            json.dump(manifest, f, indent=1)
-        lin.write.mode("overwrite").parquet(
+        store.update_metrics(manifest["snapshot_id"], manifest["metrics"])
+        # lineage from the JUST-WRITTEN files — identical rows without
+        # re-running the cascade a second time
+        committed_df = spark.read.parquet(manifest["data_dir"])
+        lineage(committed_df).write.mode("overwrite").parquet(
             os.path.join(store_root, "lineage", manifest["snapshot_id"]))
         committed.append(manifest)
     return {"snapshots": [m["snapshot_id"] for m in committed],

@@ -71,6 +71,16 @@ class SnapshotStore:
         return manifest
 
     # ------------------------------------------------------------ resume
+    def update_metrics(self, snapshot_id: str, metrics: dict) -> None:
+        """Attach post-commit metrics (e.g. observation results that
+        only materialize after the write action) to a manifest."""
+        path = self._manifest_path(snapshot_id)
+        with open(path) as f:
+            manifest = json.load(f)
+        manifest["metrics"] = metrics
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1)
+
     def completed_partitions(self) -> set[int]:
         done: set[int] = set()
         snaps_dir = os.path.join(self.root, "snapshots")

@@ -56,11 +56,9 @@ LATIN_LANGS = ("en", "fr", "es", "pt", "de")
 LTR_OPEN = "‪"
 LTR_CLOSE = "‬"
 
-# Lua %s under the C locale.
-_WS_BYTES = b" \t\n\v\f\r"
-# class at :148 — includes the escaped hyphen
-_CLS_LOCAL = rb"[\]\[\t\n\v\f\r ()\-,;:/]"
 # class at :188 — ``)-,`` is the byte range 0x29..0x2C = ) * + ,
+# (regex form used only by the lazy-quantifier tag path; the literal
+# scans use the byte sets below)
 _CLS_TAG = rb"[\]\[\t\n\v\f\r ()*+,;:/]"
 
 _LANG_TAG_RE = re.compile(r"^name:[a-z][a-z][a-z]?$")
@@ -96,8 +94,16 @@ _CLS_TAG_SET = frozenset(b"][\t\n\v\f\r ()*+,;:/")
 def _find_literal_pos(hay: bytes, needle: bytes, cls_set: frozenset):
     """1-based position of the first cls+needle+cls match where needle
     is a LITERAL byte string — equivalent to the regex search but
-    allocation-free.  Returns None when not found."""
+    allocation-free.  Returns None when not found.
+
+    Empty needle parity: Lua's cls..escaped..cls pattern with an empty
+    escaped middle still matches any two ADJACENT class bytes — e.g. an
+    empty name:xx tag 'matches' at ' -' inside 'Bolzano - Bozen'
+    (string.find returns the position of the first class byte)."""
     if not needle:
+        for j in range(len(hay) - 1):
+            if hay[j] in cls_set and hay[j + 1] in cls_set:
+                return j + 1
         return None
     start = 1
     nlen = len(needle)
@@ -133,17 +139,14 @@ def _find_pos(hay: bytes, middle_pattern: bytes, cls: bytes):
 
 
 def format_combined_name(names: list[str], separator: str) -> str:
-    """Join non-degenerate name arrays with LTR embedding marks
-    (get_localized_name_from_tags.lua:56-73)."""
-    if len(names) >= 2:
-        if names[0] == "":
-            return names[1]
-        if names[1] == "":
-            return names[0]
-    elif names:
+    """Join name arrays with LTR embedding marks — exact port of
+    get_localized_name_from_tags.lua:56-73: the ''-guards compare only
+    positions 1/2 (a nil position never equals ''), and EVERY other
+    array — including a single name — gets the U+202A/U+202C wrap."""
+    if len(names) >= 1 and names[0] == "":
+        return names[1] if len(names) >= 2 else ""     # Lua returns nil
+    if len(names) >= 2 and names[1] == "":
         return names[0]
-    else:
-        return ""
     return LTR_OPEN + separator.join(names) + LTR_CLOSE
 
 

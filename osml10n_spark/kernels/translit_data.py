@@ -96,7 +96,9 @@ def kana_to_romaji(text: str) -> str:
         if c in ("ー",):
             if out and out[-1] and out[-1][-1] in "aiueo":
                 out.append(out[-1][-1])
-            i += 1
+            else:
+                out.append("-")      # run-initial / post-consonant: keep
+            i += 1                   # a visible mark instead of dropping
             continue
         if c in KANA:
             base = KANA[c]

@@ -103,6 +103,8 @@ def cell_to_parent(cell, parent_res: int | None = None) -> np.ndarray:
     res = (c >> _RES_SHIFT).astype(np.int64)
     if parent_res is None:
         parent_res = int(res.max()) - 1 if res.size else 0
+    if parent_res < 0:
+        raise ValueError("resolution-0 cells have no parent")
     steps = res - parent_res
     if np.any(steps < 0):
         raise ValueError("parent_res must be <= cell res")

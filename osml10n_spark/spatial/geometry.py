@@ -33,6 +33,14 @@ class PackedPolygon:
     def __init__(self, cc: str, x1, y1, x2, y2, n_buckets: int = 64):
         self.cc = cc
         self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+        if len(x1) == 0:
+            # empty polygon: inverted bbox so the prefilter rejects all
+            self.bbox = (1.0, 1.0, -1.0, -1.0)
+            self.n_buckets = n_buckets
+            self.ymin, self.yspan = 0.0, 1e-12
+            self.buckets = [np.empty(0, dtype=np.int64)
+                            for _ in range(n_buckets)]
+            return
         self.bbox = (float(min(x1.min(), x2.min())), float(min(y1.min(), y2.min())),
                      float(max(x1.max(), x2.max())), float(max(y1.max(), y2.max())))
         # y-bucket index: bucket b -> edge indices whose y-span overlaps it
@@ -102,6 +110,13 @@ def pack_polygon(cc: str, rings: list) -> PackedPolygon:
         y1s.append(arr[:-1, 1])
         x2s.append(arr[1:, 0])
         y2s.append(arr[1:, 1])
+    if not x1s:
+        # all rings degenerate (<3 points): an empty polygon that
+        # contains nothing, instead of np.concatenate([]) blowing up
+        # the whole boundary-directory load
+        empty = np.empty(0, dtype=np.float64)
+        return PackedPolygon(cc, empty, empty.copy(), empty.copy(),
+                             empty.copy())
     return PackedPolygon(cc, np.concatenate(x1s), np.concatenate(y1s),
                          np.concatenate(x2s), np.concatenate(y2s))
 

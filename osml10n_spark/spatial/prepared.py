@@ -27,14 +27,15 @@ class PreparedLookup:
     def __init__(self, index: BoundaryIndex, res: int = DEFAULT_RES):
         self.index = index
         self.res = res
-        interior: dict[int, str] = {}
-        boundary: dict[int, list[int]] = {}     # cell -> polygon ordinals
+        self._cc = [p.cc for p in index.polys]   # ordinals = sorted-cc order
+        interior: dict[int, int] = {}            # cell -> smallest ordinal
+        boundary: dict[int, list[int]] = {}      # cell -> polygon ordinals
         for ordinal, poly in enumerate(index.polys):
             icells, bcells = polygon_cover(poly, res)
             for c in icells.tolist():
                 # first-match-wins in deterministic sorted-cc order:
                 # keep the first polygon that claims an interior cell
-                interior.setdefault(c, poly.cc)
+                interior.setdefault(c, ordinal)
             for c in bcells.tolist():
                 boundary.setdefault(c, []).append(ordinal)
         self.interior = interior
@@ -45,29 +46,37 @@ class PreparedLookup:
         lat = np.asarray(lat, dtype=np.float64)
         cells = cell_from_lonlat(lon, lat, self.res)
         out = np.full(len(lon), "", dtype=object)
-        refine_idx: list[int] = []
+        # group refinement rows: an interior hit short-circuits ONLY
+        # when no overlapping polygon with an EARLIER sorted-cc is a
+        # boundary candidate for the same cell (first-match parity for
+        # overlapping boundary sets)
+        cand_map: dict[tuple[tuple[int, ...], int], list[int]] = {}
         for i, c in enumerate(cells.tolist()):
-            cc = self.interior.get(c)
-            if cc is not None:
-                out[i] = cc
-            elif c in self.boundary:
-                refine_idx.append(i)
-        if refine_idx:
-            ridx = np.asarray(refine_idx, dtype=np.int64)
-            # group refinement rows by their candidate polygon list
-            cand_map: dict[tuple[int, ...], list[int]] = {}
-            for i in refine_idx:
-                key = tuple(self.boundary[int(cells[i])])
-                cand_map.setdefault(key, []).append(i)
-            for ordinals, rows in cand_map.items():
-                rows_a = np.asarray(rows, dtype=np.int64)
-                unresolved = np.ones(len(rows_a), dtype=bool)
-                for o in ordinals:           # ordinals are sorted-cc order
-                    if not unresolved.any():
-                        break
-                    poly = self.index.polys[o]
-                    sub = rows_a[unresolved]
-                    hit = poly.contains(lon[sub], lat[sub])
-                    out[sub[hit]] = poly.cc
-                    unresolved[np.nonzero(unresolved)[0][hit]] = False
+            i_ord = self.interior.get(c)
+            b_ords = self.boundary.get(c)
+            if b_ords is None:
+                if i_ord is not None:
+                    out[i] = self._cc[i_ord]
+                continue
+            earlier = tuple(o for o in b_ords
+                            if i_ord is None or o < i_ord)
+            if not earlier:
+                if i_ord is not None:
+                    out[i] = self._cc[i_ord]
+                continue
+            cand_map.setdefault((earlier, -1 if i_ord is None else i_ord),
+                                []).append(i)
+        for (ordinals, fallback), rows in cand_map.items():
+            rows_a = np.asarray(rows, dtype=np.int64)
+            unresolved = np.ones(len(rows_a), dtype=bool)
+            for o in ordinals:               # ordinals are sorted-cc order
+                if not unresolved.any():
+                    break
+                poly = self.index.polys[o]
+                sub = rows_a[unresolved]
+                hit = poly.contains(lon[sub], lat[sub])
+                out[sub[hit]] = poly.cc
+                unresolved[np.nonzero(unresolved)[0][hit]] = False
+            if fallback >= 0 and unresolved.any():
+                out[rows_a[unresolved]] = self._cc[fallback]
         return out

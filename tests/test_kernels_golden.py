@@ -281,3 +281,34 @@ def test_extended_script_transliteration(src, expected):
     import unicodedata
     assert unicodedata.normalize("NFC", generic_transliterate(src)) \
         == unicodedata.normalize("NFC", expected)
+
+
+def test_empty_tag_value_matches_adjacent_boundary_pair():
+    """Lua parity: an empty name:xx value's escaped pattern (cls..cls)
+    matches two adjacent boundary-class bytes, so the cascade behaves
+    as if the empty tag were 'found' inside the generic name."""
+    from osml10n_spark.kernels.names import get_names_from_tags
+
+    class _NoGeo:
+        def geo_transcript(self, *a):
+            return ""
+        def country_transcript(self, *a):
+            return ""
+
+    tags = {"name:en": "", "name": "Bolzano - Bozen",
+            "name:it": "Bolzano", "name:de": "Bozen"}
+    names = get_names_from_tags("x", tags, False, False, "en", None, _NoGeo())
+    # local '' leads, additional names found by position: it(1), de(11)
+    assert names == ["", "Bolzano", "Bozen"]
+    from osml10n_spark.kernels.names import format_combined_name
+    assert format_combined_name(names, "\n") == "Bolzano"
+
+
+def test_format_combined_name_single_element_wraps():
+    """Lua :56-73 has no length guard: a 1-element array gets the LTR
+    wrap (the ''-guards compare against nil and fail)."""
+    from osml10n_spark.kernels.names import format_combined_name
+    assert format_combined_name(["X"], " - ") == "‪X‬"
+    assert format_combined_name([], " - ") == "‪‬"
+    assert format_combined_name(["", "Y"], " - ") == "Y"
+    assert format_combined_name(["X", ""], " - ") == "X"

@@ -113,3 +113,36 @@ def test_zorder_and_tiles():
     t16 = tile_from_lonlat(lon, lat, z=16, maxz=16)
     assert ((np.asarray(t16).astype(np.uint64) & ((np.uint64(1) << np.uint64(58)) - np.uint64(1))) >> np.uint64(16)
             == (np.asarray(t8).astype(np.uint64) & ((np.uint64(1) << np.uint64(58)) - np.uint64(1)))).all()
+
+
+def test_prepared_lookup_overlap_first_match_parity():
+    """A point interior to a later-sorted polygon but inside an
+    overlapping earlier-sorted polygon's boundary cell must resolve to
+    the earlier cc — PreparedLookup == BoundaryIndex linear first-match
+    for overlapping boundary sets."""
+    from osml10n_spark.spatial.boundaries import BoundaryIndex
+    from osml10n_spark.spatial.geometry import pack_polygon
+    from osml10n_spark.spatial.prepared import PreparedLookup
+    import numpy as np
+    # 'aa' (sorted earlier) overlaps the middle of 'zz'; the probe point
+    # sits deep inside 'zz' (interior cells at res 6) AND inside 'aa'
+    zz = pack_polygon("zz", [[(0, 0), (40, 0), (40, 40), (0, 40), (0, 0)]])
+    aa = pack_polygon("aa", [[(15, 15), (25, 15), (25, 25), (15, 25),
+                              (15, 15)]])
+    idx = BoundaryIndex([zz, aa])
+    prep = PreparedLookup(idx, res=6)
+    lons = np.array([20.0, 5.0, 50.0])
+    lats = np.array([20.0, 5.0, 50.0])
+    linear = idx.lookup(lons, lats)
+    fast = prep.lookup(lons, lats)
+    assert list(fast) == list(linear)
+    assert fast[0] == "aa"     # overlap → earlier-sorted cc wins
+    assert fast[1] == "zz"
+    assert fast[2] == ""
+
+
+def test_pack_polygon_degenerate_rings_is_empty():
+    from osml10n_spark.spatial.geometry import pack_polygon
+    import numpy as np
+    p = pack_polygon("xx", [[(0, 0), (1, 1)], []])
+    assert not p.contains(np.array([0.5]), np.array([0.5]))[0]
