@@ -174,9 +174,13 @@ def main() -> None:
                 [sys.executable, __file__, "--worker-cores", str(cores),
                  "--staged", staged_scale],
                 capture_output=True, text=True, timeout=1800)
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            res = json.loads(line)
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling worker cores={cores} failed "
+                    f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}")
+            res = json.loads(lines[-1])
             samples[cores].append(res["rps"])
             if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
                 scaling[cores] = res
@@ -190,7 +194,11 @@ def main() -> None:
         per_rep = [(samples[b][r] / samples[a][r]) / (b / a)
                    for r in range(min(len(samples[a]), len(samples[b])))]
         best_level = (scaling[b]["rps"] / scaling[a]["rps"]) / (b / a)
+        # headline = PEAK matched-window ratio (labeled as such in the
+        # output); all per-repeat ratios are reported alongside so the
+        # selection is transparent rather than silently upward-biased
         pairs[f"{a}->{b}"] = round(max(per_rep + [best_level]), 3)
+        pairs[f"{a}->{b}_runs"] = [round(x, 3) for x in per_rep]
     lo, hi = scaling[levels[0]], scaling[levels[-1]]
 
     print(json.dumps({

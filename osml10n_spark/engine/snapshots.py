@@ -71,6 +71,22 @@ class SnapshotStore:
         return manifest
 
     # ------------------------------------------------------------ resume
+    def committed_epochs(self) -> set[int]:
+        """Streaming epoch ids already committed (manifest-last commit
+        makes this the exactly-once replay filter: a crash between
+        commit and the streaming checkpoint re-delivers the epoch, and
+        the manifest proves it already landed)."""
+        out: set[int] = set()
+        snaps = os.path.join(self.root, "snapshots")
+        if os.path.isdir(snaps):
+            for fn in os.listdir(snaps):
+                if fn.endswith(".json"):
+                    with open(os.path.join(snaps, fn)) as f:
+                        ep = json.load(f).get("metrics", {}).get("epoch")
+                    if ep is not None:
+                        out.add(int(ep))
+        return out
+
     def update_metrics(self, snapshot_id: str, metrics: dict) -> None:
         """Attach post-commit metrics (e.g. observation results that
         only materialize after the write action) to a manifest."""

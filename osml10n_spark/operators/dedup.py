@@ -189,17 +189,14 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force; at scale feed LSH
-    buckets as blocking).  Returns (a_id, b_id, cosine)."""
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0),
-                                  lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    buckets as blocking).  Returns (a_id, b_id, cosine).  Vector folds
+    shared with operators.similarity so FP semantics cannot drift."""
+    from .similarity import _dot, _norm
     v = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")) \
-        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("nrm", _norm(F.col("vec")))
     a = v.alias("a")
     b = v.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.vec"), F.col("b.vec"),
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
     return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
             .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
             .filter(F.col("cosine") >= threshold)

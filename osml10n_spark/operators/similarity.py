@@ -159,9 +159,11 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
                     / (F.col("q_nrm") * F.col("i_nrm")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("iid").asc())
+    # (qid, rank) is unique by construction — each item sits in exactly
+    # one inverted list, so no distinct/dedup shuffle is needed
     out = (cand.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k)
-           .select("qid", "iid", "cosine", "rank").distinct()).persist()
+           .select("qid", "iid", "cosine", "rank")).persist()
     out.count()                  # materialize, then release the caches
     i.unpersist()
     cents.unpersist()

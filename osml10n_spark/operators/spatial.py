@@ -158,13 +158,14 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
             if not q_heavy.isEmpty():
                 parts.append(_knn_core(q_heavy, i_pts, k, res_fine,
                                        max_rounds, initial_ring))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            out = out.persist()
-            out.count()
-            i_pts.unpersist()
-            return out
+            if parts:                      # empty queries → default path
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                out = out.persist()
+                out.count()
+                i_pts.unpersist()
+                return out
     out = _knn_core(q_pts, i_pts, k, res, max_rounds, initial_ring)
     i_pts.unpersist()
     return out
@@ -274,7 +275,8 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     for df in defer_unpersist:
         df.unpersist()
     for df in round_results:
-        df.unpersist()          # no-op for the unpersisted leftovers frame
+        if df is not results:   # single-round case: results IS round 1
+            df.unpersist()      # (no-op for the unpersisted leftovers)
     items_c.unpersist()
     return results
 

@@ -31,11 +31,16 @@ def localize_stream(stream_df: DataFrame, store_root: str,
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
+        # exactly-once: a crash AFTER commit but BEFORE the streaming
+        # checkpoint re-delivers this epoch on restart — the manifest
+        # (written last = the commit point) proves it already landed
+        if int(epoch_id) in store.committed_epochs():
+            return
         staged = add_cell_prefix(batch_df)
         out = localize(staged, target_lang)
         keys = [r.cell_prefix for r in
                 staged.select("cell_prefix").distinct().collect()]
-        store.commit(out, keys, metrics={"epoch": epoch_id})
+        store.commit(out, keys, metrics={"epoch": int(epoch_id)})
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

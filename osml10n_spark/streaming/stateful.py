@@ -59,6 +59,7 @@ def dedup_stream(stream_df: DataFrame, key_col: str, id_col: str,
 def running_cell_counts(stream_df: DataFrame,
                         cell_col: str = "cell_id") -> DataFrame:
     """Running per-cell row counts in append mode (state = one long)."""
+    key_type = stream_df.schema[cell_col].dataType.simpleString()
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         total = state.get[0] if state.exists else 0
@@ -72,7 +73,7 @@ def running_cell_counts(stream_df: DataFrame,
 
     return (stream_df.groupBy(cell_col)
             .applyInPandasWithState(
-                fn, outputStructType="cell long, n_total long, n_batch long",
+                fn, outputStructType=f"cell {key_type}, n_total long, n_batch long",
                 stateStructType="n long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -51,33 +51,6 @@ def _prepared():
     return _STATE["prep"]
 
 
-class _BatchTranscriptor:
-    """Transcriptor whose geo path resolves countries through the
-    per-executor PreparedLookup (cover equi-probe + boundary refine)."""
-
-    def geo_transcript(self, rec_id, name, place):
-        if name == "":
-            return ""
-        try:
-            if place is None:
-                cc = ""
-            else:
-                lon, lat = _centroid_quirk(place)
-                cc = _translit.gate_cc(
-                    name, lambda: str(_prepared().lookup([lon], [lat])[0]))
-            return _translit.transcript(rec_id, cc, name)
-        except Exception:
-            return ""
-
-    def country_transcript(self, rec_id, name, cc=None):
-        if name == "":
-            return ""
-        return _translit.transcript(rec_id, cc or "", name)
-
-
-_BT = _BatchTranscriptor()
-
-
 def _centroid_quirk(place):
     """bbox → centroid with the reference degradation quirks
     (geo_transcript.lua:19-35): callables invoked, non-indexable /

@@ -93,3 +93,32 @@ def test_streaming_foreachbatch(spark, tmp_path):
     out = SnapshotStore(root).committed_output(spark)
     assert out.count() == 60
     assert out.filter(F.col("caption_l10n") == "").count() == 0
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering an epoch (crash between commit and streaming
+    checkpoint) must not duplicate rows: the manifest's epoch record is
+    the replay filter."""
+    from osml10n_spark.engine.snapshots import SnapshotStore
+    from osml10n_spark.sources.datagen import generate_images
+    from osml10n_spark.engine.job import add_cell_prefix
+    from osml10n_spark.engine.localize import localize
+
+    root = str(tmp_path / "es")
+    store = SnapshotStore(root)
+    batch = generate_images(spark, 60, seed=3, with_images=False)
+
+    def process_like_stream(batch_df, epoch_id):
+        if int(epoch_id) in store.committed_epochs():
+            return False
+        staged = add_cell_prefix(batch_df)
+        keys = [r.cell_prefix for r in
+                staged.select("cell_prefix").distinct().collect()]
+        store.commit(localize(staged, "en"), keys,
+                     metrics={"epoch": int(epoch_id)})
+        return True
+
+    assert process_like_stream(batch, 0) is True
+    assert process_like_stream(batch, 0) is False      # replay skipped
+    out = store.committed_output(spark)
+    assert out.count() == 60                           # no duplicates
