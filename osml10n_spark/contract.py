@@ -1107,6 +1107,37 @@ FROM events
 """
 
 
+
+def q_translit_cyrillic(spark, sf_dir):
+    """F18 generic Any-Latin transliteration (ISO 9 Cyrillic) as an
+    oracle-backed query: a fixed city corpus keyed by nation rows, the
+    engine transliterates via its table-driven kernel, the oracle holds
+    the golden romanizations."""
+    from .udfs import udf_transliterate
+    n = _t(spark, sf_dir, "nation")
+    cities = ["Москва", "Санкт-Петербург", "Новосибирск", "Екатеринбург",
+              "Нижний Новгород", "Казань", "Челябинск", "Омск"]
+    src = F.element_at(F.array(*[F.lit(c) for c in cities]),
+                       (F.col("n_nationkey") % 8 + 1).cast("int"))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    udf_transliterate(src, F.lit("")).alias("romanized"))
+
+
+Q_TRANSLIT_CYRILLIC_SQL = """
+SELECT n_nationkey AS id,
+  CASE n_nationkey % 8
+    WHEN 0 THEN 'Moskva'
+    WHEN 1 THEN 'Sankt-Peterburg'
+    WHEN 2 THEN 'Novosibirsk'
+    WHEN 3 THEN 'Ekaterinburg'
+    WHEN 4 THEN 'Nižnij Novgorod'
+    WHEN 5 THEN 'Kazanʹ'
+    WHEN 6 THEN 'Čelâbinsk'
+    ELSE 'Omsk' END AS romanized
+FROM nation
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 def q_localize_documents(spark, sf_dir):
@@ -1254,6 +1285,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_cube_revenue": q_cube_revenue,
     "q_running_window": q_running_window,
+    "q_translit_cyrillic": q_translit_cyrillic,
 }
 
 ORACLES = {
@@ -1299,6 +1331,7 @@ ORACLES = {
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,
     "q_running_window": Q_RUNNING_WINDOW_SQL,
+    "q_translit_cyrillic": Q_TRANSLIT_CYRILLIC_SQL,
 }
 
 
