@@ -76,8 +76,9 @@ def worker_main(cores: int, staged: str) -> None:
     sandbox VM has bursty CPU; single samples can be off by 5-10x)."""
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
-    # warm-up on slice 3; timed runs on disjoint slices (cold memos)
-    _run_flagship(spark, staged, part=3)
+    # small warm-up slice (JIT + Arrow + boundary-index build); timed
+    # runs on disjoint larger slices (cold memos)
+    _run_flagship(spark, staged, part=15, parts=16)
     best, n = None, 0
     for part in range(2):
         sec, n = _run_flagship(spark, staged, part=part)
@@ -168,7 +169,7 @@ def main() -> None:
     # samples one host-burstiness window for ALL levels — efficiency is
     # then computed within a repeat (matched conditions) as well as
     # from the best per level
-    for _rep in range(2):
+    for _rep in range(3):
         for cores in core_levels:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker-cores", str(cores),
