@@ -70,21 +70,21 @@ def _run_flagship(spark, staged_dir: str, part: int | None = None,
     return time.time() - t0, int(row.n)
 
 
-def worker_main(cores: int, staged: str) -> None:
-    """One warm-up + min-of-2 timed runs per worker; the interleaved
-    2-repeat schedule in main() gives 4 samples/level total (the
-    sandbox VM has bursty CPU; single samples can be off by 5-10x)."""
+def worker_main(cores: int, staged: str, slice_part: int = 0) -> None:
+    """One warm-up + ONE timed half-table run per fresh JVM; the
+    interleaved 3-repeat schedule in main() gives 3 matched samples per
+    level (the sandbox VM has bursty CPU; single samples can be off by
+    5-10x).  The timed slice is half the table (~3.6M rows) so fixed
+    stage overhead (~1s) stays small relative to run time even at 32
+    cores — smaller slices penalize the high-core levels ~25%."""
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
-    # small warm-up slice (JIT + Arrow + boundary-index build); timed
-    # runs on disjoint larger slices (cold memos)
+    # small warm-up slice (JIT + Arrow + boundary-index build); the
+    # timed half-table is cold for this JVM's workers
     _run_flagship(spark, staged, part=15, parts=16)
-    best, n = None, 0
-    for part in range(2):
-        sec, n = _run_flagship(spark, staged, part=part)
-        best = sec if best is None else min(best, sec)
-    print(json.dumps({"cores": cores, "sec": best, "rows": n,
-                      "rps": n / best}), flush=True)
+    sec, n = _run_flagship(spark, staged, part=slice_part % 2, parts=2)
+    print(json.dumps({"cores": cores, "sec": sec, "rows": n,
+                      "rps": n / sec}), flush=True)
     spark.stop()
 
 
@@ -173,7 +173,7 @@ def main() -> None:
         for cores in core_levels:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker-cores", str(cores),
-                 "--staged", staged_scale],
+                 "--staged", staged_scale, "--slice", str(_rep)],
                 capture_output=True, text=True, timeout=1800)
             lines = [l for l in proc.stdout.splitlines()
                      if l.startswith("{")]
@@ -225,8 +225,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker-cores", type=int)
     ap.add_argument("--staged", type=str)
+    ap.add_argument("--slice", type=int, default=0)
     args = ap.parse_args()
     if args.worker_cores:
-        worker_main(args.worker_cores, args.staged)
+        worker_main(args.worker_cores, args.staged, args.slice)
     else:
         main()
