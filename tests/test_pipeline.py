@@ -89,3 +89,23 @@ def test_cells_and_tiles_populated(spark, images):
     assert row.cells > 10
     assert row.tiles > 10
     assert row.empties == 0
+
+
+@pytest.mark.parametrize("target,street", [("en", False), ("fr", False),
+                                           ("es", True), ("pt", True)])
+def test_localize_language_matrix(spark, images, target, street):
+    """Spark-vs-kernel parity across target languages and both entry
+    points (place/street) — the de/placename case is covered above."""
+    from osml10n_spark.kernels import (get_placename_from_tags,
+                                       get_streetname_from_tags)
+    out = localize(images, target, is_street=street) \
+        .select("image_id", "tags", "lon", "lat", "caption_l10n")
+    fn = get_streetname_from_tags if street else get_placename_from_tags
+    sep = " - " if street else "\n"
+    bad = []
+    for r in out.collect():
+        exp = fn(r.image_id, dict(r.tags), False, sep, target,
+                 [r.lon, r.lat, r.lon, r.lat])
+        if exp != r.caption_l10n:
+            bad.append((r.image_id, r.caption_l10n, exp))
+    assert not bad, bad[:5]
