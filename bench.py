@@ -169,7 +169,13 @@ def main() -> None:
     # samples one host-burstiness window for ALL levels — efficiency is
     # then computed within a repeat (matched conditions) as well as
     # from the best per level
-    for _rep in range(3):
+    t_scale = time.time()
+    for _rep in range(4):
+        # budget guard: stop adding repeats once ~8 min of scaling
+        # evidence is collected (every level keeps ≥1 matched sample)
+        if _rep and time.time() - t_scale > 480 \
+                and all(samples[c] for c in core_levels):
+            break
         for cores in core_levels:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker-cores", str(cores),
