@@ -310,7 +310,7 @@ def q_salted_agg(spark, sf_dir):
 Q_SALTED_AGG_SQL = """
 SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'HOT'
             ELSE 'k' || CAST(o_orderkey % 50 AS VARCHAR) END AS key,
-       SUM(o_orderkey) AS total, COUNT(*) AS n
+       CAST(SUM(o_orderkey) AS BIGINT) AS total, COUNT(*) AS n
 FROM orders GROUP BY 1
 """
 
@@ -817,14 +817,19 @@ def q_radius_join(spark, sf_dir):
     from .operators.spatial import radius_join
     pts = _points(spark, sf_dir)
     sample = pts.filter(F.col("id") % 17 == 0)
-    return radius_join(sample, pts, 2.0, lid_col="id", rid_col="id")
+    # dist2 is exact-decimal on both sides but with engine-specific
+    # precision/scale; hash over a DOUBLE (same nearest-double of the
+    # same exact rational) so representation can't diverge
+    return radius_join(sample, pts, 2.0, lid_col="id", rid_col="id") \
+        .withColumn("dist2", F.col("dist2").cast("double"))
 
 
 Q_RADIUS_JOIN_SQL = f"""
 WITH pts AS ({_PTS_SQL}),
 sample AS (SELECT * FROM pts WHERE id % 17 = 0)
 SELECT s.id AS lid, p.id AS rid,
-  (s.lon - p.lon) * (s.lon - p.lon) + (s.lat - p.lat) * (s.lat - p.lat) AS dist2
+  CAST((s.lon - p.lon) * (s.lon - p.lon)
+       + (s.lat - p.lat) * (s.lat - p.lat) AS DOUBLE) AS dist2
 FROM sample s CROSS JOIN pts p
 WHERE (s.lon - p.lon) * (s.lon - p.lon) + (s.lat - p.lat) * (s.lat - p.lat)
       <= 4.0
@@ -1035,7 +1040,7 @@ g AS (SELECT id,
 fine AS (SELECT ((9::BIGINT << 58) | morton) AS cell_id, COUNT(*) AS n_rows
          FROM s5 GROUP BY 1)
 SELECT ((6::BIGINT << 58) | ((cell_id & {(1 << 58) - 1}) >> 6)) AS parent_cell,
-       SUM(n_rows) AS n_rows, COUNT(*) AS n_child_cells
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows, COUNT(*) AS n_child_cells
 FROM fine GROUP BY 1
 """
 

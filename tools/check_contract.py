@@ -1,4 +1,8 @@
-"""Run the driver-contract compare at an arbitrary SF dir."""
+"""Run the driver-contract compare at an arbitrary SF dir.
+
+Usage: python tools/check_contract.py [SF_DIR] [query ...]
+With query names given, only those are checked (fast iteration).
+"""
 import math, os, sys, time
 import duckdb
 sys.path.insert(0, "/root/repo")
@@ -37,6 +41,9 @@ def _norm_rows(cols, rows):
 
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
+only = set(sys.argv[2:])
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name in sorted(qs):
     t0 = time.time()
