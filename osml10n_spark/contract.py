@@ -7,9 +7,8 @@ Column names and value derivations are kept bit-identical on both
 sides (deterministic point/rect synthesis from integer keys, exact
 decimal aggregation before double casts, floor-truncation instead of
 round, md5-based portable hashing).  Queries whose Spark side runs
-engine UDFs with no SQL equivalent (full localization cascade, simhash
-xxhash64, LSH ANN) have no oracle → the driver records the weaker
-rows-only check.
+engine UDFs with no SQL equivalent (pixel decoding, FP-hyperplane ANN)
+have no oracle → the driver records the weaker rows-only check.
 """
 from __future__ import annotations
 
@@ -1161,11 +1160,48 @@ def q_localize_documents(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with a FULL DuckDB oracle: the md5-nibble
+    token hash, the per-bit sign aggregation, the 16-bit pigeonhole
+    banding and the hamming refine are all re-derived in SQL."""
     d = _t(spark, sf_dir, "documents")
     doubled = d.select("doc_id", "text").unionAll(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
         .filter(F.col("doc_id") < 100020))
     return simhash_dup_pairs(doubled, "doc_id", "text", max_hamming=3)
+
+
+_SIMHASH_NIBS = ", ".join(
+    f"strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS n{i}"
+    for i in range(16))
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN ((n{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64))
+_SIMHASH_SUM = " + ".join(
+    ["CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"]
+    + [f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END"
+       for b in range(63)])
+
+Q_SIMHASH_PAIRS_SQL = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM all_docs),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+hxs AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+nib AS (SELECT doc_id, {_SIMHASH_NIBS} FROM hxs),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM nib GROUP BY doc_id),
+sim AS (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM bits),
+banded AS (SELECT doc_id, simhash, band,
+                  (simhash >> (16 * band)) & 65535 AS bkey
+           FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+                 a.simhash AS a_sim, b2.simhash AS b_sim
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.bkey = b2.bkey
+           AND a.doc_id < b2.doc_id)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(a_sim, b_sim)) <= 3
+"""
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1333,6 +1369,7 @@ ORACLES = {
     "q_sql_registered": Q_SQL_REGISTERED_SQL,
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
+    "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,
     "q_running_window": Q_RUNNING_WINDOW_SQL,

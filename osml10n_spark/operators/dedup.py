@@ -4,8 +4,8 @@ All operators take/return DataFrames and are built from JVM expressions
 wherever possible (md5/xxhash64/regexp are whole-stage-codegen native);
 hashing choices are deliberately SQL-portable so the DuckDB oracle can
 replicate them bit-for-bit (md5 exists in both engines with identical
-output; Spark's xxhash64/hash do NOT exist in DuckDB and are only used
-in non-oracle paths).
+output; Spark's xxhash64/hash do NOT exist in DuckDB and are avoided
+everywhere an oracle needs to re-derive values).
 
 - exact_dedup:        md5(normalized text) group-by, keep min id
 - minhash_signature:  k-shingles → per-band min of md5-derived 64-bit
@@ -140,13 +140,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum
-    of ±1 contributions from xxhash64(token).  Returns (doc_id, simhash)."""
+    of ±1 contributions from a PORTABLE md5-derived token hash (bit b =
+    bit b%4 of md5 hex nibble b//4) — byte-identical in DuckDB, so the
+    full pipeline is oracle-expressible (the previous xxhash64 scheme
+    was not).  All JVM expressions (md5/conv/bit ops whole-stage
+    codegen).  Returns (doc_id, simhash)."""
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(F.split(normalize_text(F.col(text_col)), " "))
                      .alias("tok"))
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    bits = [F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
-                         1).otherwise(-1)).alias(f"b{b}") for b in range(64)]
+    h = toks.withColumn("hx", F.md5("tok"))
+    # 16 hex nibbles → 64 bits; conv is JVM-native (no Python crossing)
+    for i in range(16):
+        h = h.withColumn(f"n{i}",
+                         F.conv(F.substring("hx", i + 1, 1), 16, 10).cast("int"))
+    bits = [F.sum(F.when(F.shiftright(F.col(f"n{b // 4}"), b % 4)
+                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+            .alias(f"b{b}") for b in range(64)]
     agg = h.groupBy("doc_id").agg(*bits)
     sim = F.lit(0).cast("long")
     for b in range(64):

@@ -93,14 +93,19 @@ def test_minhash_and_jaccard(spark):
 
 
 def test_simhash_pairs(spark):
-    rows = [(1, "alpha beta gamma delta epsilon zeta"),
-            (2, "alpha beta gamma delta epsilon zets"),
+    # one changed token in 20 → hamming 3 under the md5-nibble hash;
+    # the 4-band pigeonhole guarantees recall only for hamming ≤ 3,
+    # so the threshold stays within that bound
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base),
+            (2, base.replace("zeta", "zets")),
             (3, "unrelated words entirely different content here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r.a_id, r.b_id): r.hamming
              for r in simhash_dup_pairs(df, "doc_id", "text",
-                                        max_hamming=16).collect()}
-    assert (1, 2) in pairs
+                                        max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
