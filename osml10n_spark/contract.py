@@ -915,21 +915,43 @@ WHERE CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) >= 0.5
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs; ids only (cosine FP accumulation
-    order differs across engines, pair membership does not)."""
+    """Embedding-cosine near-dup pairs over the FULL table (no limit) —
+    sign-band blocked, so no all-pairs join; the oracle re-derives the
+    exact band buckets (signs of stored floats — no FP arithmetic) and
+    the cosine refine.  Planted exact duplicates (vec_id+100000, the
+    text-dedup pattern) are provably recalled: identical vectors share
+    every band.  Ids only (cosine FP accumulation order differs across
+    engines, pair membership does not)."""
     from .operators.dedup import embedding_dups
-    # orderBy before limit: a bare limit takes arbitrary rows and only
-    # coincidentally matches the oracle's ORDER BY ... LIMIT subset
-    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
-    return embedding_dups(e, "vec_id", "embedding", threshold=0.35) \
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .filter(F.col("vec_id") < 100040))
+    return embedding_dups(doubled, "vec_id", "embedding", threshold=0.9) \
         .select("a_id", "b_id")
 
 
-Q_EMBEDDING_DUPS_SQL = """
-WITH e AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 200)
-SELECT a.vec_id AS a_id, b.vec_id AS b_id
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+_EMB_BANDS_SQL = " UNION ALL ".join(
+    "SELECT vec_id, {j} AS band, {key} AS bkey FROM e".format(
+        j=j, key=" + ".join(
+            f"(CASE WHEN embedding[{j * 8 + i + 1}] >= 0 THEN {1 << i} "
+            f"ELSE 0 END)" for i in range(8)))
+    for j in range(8))
+
+Q_EMBEDDING_DUPS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+  WHERE vec_id < 40),
+banded AS ({_EMB_BANDS_SQL}),
+cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+SELECT c.a_id, c.b_id
+FROM cand c
+JOIN e a ON a.vec_id = c.a_id
+JOIN e b ON b.vec_id = c.b_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 """
 
 

@@ -196,18 +196,81 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
-                   threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force; at scale feed LSH
-    buckets as blocking).  Returns (a_id, b_id, cosine).  Vector folds
-    shared with operators.similarity so FP semantics cannot drift."""
+                   threshold: float = 0.95, band_width: int = 8,
+                   n_bands: int = 8, brute: bool = False) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Returns (a_id, b_id, cosine).
+
+    Scale shape (default): sign-band blocking — band j's key is the
+    sign pattern of components [j·w, (j+1)·w) packed into an int (signs
+    of STORED floats: exact, no FP arithmetic, so a DuckDB oracle can
+    re-derive the buckets bit-for-bit).  Candidates share ≥1 full band
+    (equi-join on (band, key) — ONE shuffle, no all-pairs theta join);
+    only candidates pay the exact cosine refine.  Exact duplicates are
+    always recalled (identical signs in every band); for threshold t
+    the per-band sign-agreement probability is (1 - acos(t)/π)^w, so at
+    t≈0.95, w=8, 8 bands the miss probability is <1% — and falls
+    further with more bands.  Requires dim ≥ band_width·n_bands.
+
+    ``brute=True`` keeps the O(n²) baseline — the small-n oracle only.
+    Vector folds shared with operators.similarity so FP semantics
+    cannot drift."""
     from .similarity import _dot, _norm
     v = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")) \
         .withColumn("nrm", _norm(F.col("vec")))
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = _dot(F.col("a.vec"), F.col("b.vec"))
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+
+    if brute:
+        a = v.alias("a")
+        b = v.alias("b")
+        dot = _dot(F.col("a.vec"), F.col("b.vec"))
+        return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+                .filter(F.col("cosine") >= threshold)
+                .select(F.col("a.doc_id").alias("a_id"),
+                        F.col("b.doc_id").alias("b_id"), "cosine"))
+
+    # short vectors: shrink the band plan instead of hashing nulls
+    # (dim < w → one band over whatever components exist = still sound)
+    dim = len(df.select(vec_col).first()[0])
+    if dim < band_width * n_bands:
+        n_bands = max(dim // band_width, 1)
+        band_width = min(band_width, dim)
+
+    def band_key(vec, j: int):
+        bits = [F.when(F.element_at(vec, j * band_width + i + 1) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(band_width)]
+        key = bits[0]
+        for e in bits[1:]:
+            key = key + e
+        return key
+
+    banded = v.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     band_key(F.col("vec"), j).alias("bkey"))
+            for j in range(n_bands)])).alias("bb")) \
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bkey").alias("bkey"))
+    # pair-key dedup BEFORE touching vectors: only (a,b) id pairs flow
+    # through the distinct shuffle; vectors rejoin afterwards
+    cand = (banded.alias("x")
+            .join(banded.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bkey") == F.col("y.bkey"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a_id"),
+                    F.col("y.doc_id").alias("b_id"))
+            .distinct())
+    withv = (cand
+             .join(v.select(F.col("doc_id").alias("a_id"),
+                            F.col("vec").alias("a_vec"),
+                            F.col("nrm").alias("a_nrm")), "a_id")
+             .join(v.select(F.col("doc_id").alias("b_id"),
+                            F.col("vec").alias("b_vec"),
+                            F.col("nrm").alias("b_nrm")), "b_id"))
+    cosine = _dot(F.col("a_vec"), F.col("b_vec")) \
+        / (F.col("a_nrm") * F.col("b_nrm"))
+    return (withv.withColumn("cosine", cosine)
             .filter(F.col("cosine") >= threshold)
-            .select(F.col("a.doc_id").alias("a_id"),
-                    F.col("b.doc_id").alias("b_id"), "cosine"))
+            .select("a_id", "b_id", "cosine"))

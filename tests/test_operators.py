@@ -134,6 +134,24 @@ def test_embedding_dups(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_dups_blocked_matches_brute(spark):
+    """Sign-band blocking finds the same high-threshold pair set as the
+    brute-force small-n oracle (planted exact dups are guaranteed
+    recall — identical signs in every band)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    doubled = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .filter(F.col("vec_id") < 100020))
+    blocked = {(r.a_id, r.b_id) for r in
+               embedding_dups(doubled, "vec_id", "embedding",
+                              threshold=0.9).collect()}
+    brute = {(r.a_id, r.b_id) for r in
+             embedding_dups(doubled, "vec_id", "embedding",
+                            threshold=0.9, brute=True).collect()}
+    assert blocked == brute and len(brute) >= 20
+
+
 def test_textops(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = add_script_flags(docs).withColumn("lid", lang_id(F.col("text"))) \
