@@ -1164,11 +1164,77 @@ FROM nation
 """
 
 
-# --------------------------------------------- rows-only (no SQL oracle)
+def q_localize_mixed(spark, sf_dir):
+    """The flagship cascade C1/C2/C4 + transliteration F15/F18/F19 with
+    a FULL value oracle: a constructed tag corpus exercises every
+    cascade branch of get_localized_name_from_tags.lua:252-267 —
+    target-tag hit, latin name, latin int_name, latin_langs probe,
+    romanization tag, name:ja-Hira country transcript (C7 intended
+    semantics), PiP-routed kanji transcript (real jp boundary), generic
+    Cyrillic ISO-9, and the Thai charset gate — and every expected
+    output is a CASE literal (the q_translit_cyrillic technique)."""
+    from .engine.localize import localize
+    n = _t(spark, sf_dir, "nation")
+    m = F.col("n_nationkey") % 9
+    cyr = F.concat(F.lit("Кириллица "), F.col("n_name"))
+    tags = (
+        F.when(m == 0, F.create_map(
+            F.lit("name:de"), F.concat(F.lit("Zielname "), F.col("n_name")),
+            F.lit("name"), F.concat(F.lit("Zielname "), F.col("n_name"))))
+        .when(m == 1, F.create_map(
+            F.lit("name"), F.concat(F.lit("Plain "), F.col("n_name"))))
+        .when(m == 2, F.create_map(
+            F.lit("name"), cyr,
+            F.lit("int_name"), F.concat(F.lit("Intl "), F.col("n_name"))))
+        .when(m == 3, F.create_map(
+            F.lit("name"), cyr,
+            F.lit("name:en"), F.concat(F.lit("English "), F.col("n_name"))))
+        .when(m == 4, F.create_map(
+            F.lit("name"), cyr,
+            F.lit("name:ko_rm"), F.concat(F.lit("Romaja "), F.col("n_name"))))
+        .when(m == 5, F.create_map(
+            F.lit("name"), F.lit("緑台中"),
+            F.lit("name:ja-Hira"), F.lit("みどりだいなか")))
+        .when(m == 6, F.create_map(F.lit("name"), F.lit("東京")))
+        .when(m == 7, F.create_map(F.lit("name"), F.lit("Москва")))
+        .otherwise(F.create_map(F.lit("name"), F.lit("ถนนข้าวสาร"))))
+    staged = n.select(
+        F.col("n_nationkey").alias("image_id"), tags.alias("tags"),
+        # branch 6 must resolve to the real jp boundary (PiP); other
+        # branches never consult geometry (charset gates short-circuit)
+        F.when(m == 6, F.lit(139.15)).otherwise(F.lit(0.5)).alias("lon"),
+        F.when(m == 6, F.lit(36.425)).otherwise(F.lit(0.5)).alias("lat"))
+    return localize(staged, "de", add_cells=False) \
+        .select(F.col("image_id").alias("id"), "caption_l10n")
+
+
+Q_LOCALIZE_MIXED_SQL = """
+WITH b AS (SELECT n_nationkey AS id, n_nationkey % 9 AS m, n_name FROM nation)
+SELECT id, CASE m
+  WHEN 0 THEN 'Zielname ' || n_name
+  WHEN 1 THEN 'Plain ' || n_name
+  WHEN 2 THEN chr(8234) || 'Intl ' || n_name || chr(10)
+           || 'Кириллица ' || n_name || chr(8236)
+  WHEN 3 THEN chr(8234) || 'English ' || n_name || chr(10)
+           || 'Кириллица ' || n_name || chr(8236)
+  WHEN 4 THEN chr(8234) || 'Romaja ' || n_name || chr(10)
+           || 'Кириллица ' || n_name || chr(8236)
+  WHEN 5 THEN chr(8234) || 'Midoridainaka' || chr(10) || '緑台中' || chr(8236)
+  WHEN 6 THEN chr(8234) || 'Toukyou' || chr(10) || '東京' || chr(8236)
+  WHEN 7 THEN chr(8234) || 'Moskva' || chr(10) || 'Москва' || chr(8236)
+  ELSE chr(8234) || 'thanon khaosan' || chr(10) || 'ถนนข้าวสาร' || chr(8236)
+  END AS caption_l10n
+FROM b
+"""
+
 
 def q_localize_documents(spark, sf_dir):
-    """Full localization cascade UDF over tag maps built from the
-    documents corpus (engine kernels — not SQL-expressible)."""
+    """Full localization cascade over the documents corpus — now with a
+    value-carrying oracle: latin rows assert the exact localized
+    caption, every row asserts cascade non-emptiness (a non-latin name
+    always yields either its transliterated pair or the original —
+    format_combined_name never drops to ''), and cell/tile ids are
+    exact morton math on both sides."""
     from .engine.localize import localize
     d = _t(spark, sf_dir, "documents")
     staged = d.select(
@@ -1177,8 +1243,42 @@ def q_localize_documents(spark, sf_dir):
         F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
         (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
         (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
-    return localize(staged, "de").select("image_id", "caption_l10n",
-                                         "cell_id", "tile_id")
+    is_lat = ~F.col("caption").rlike(RE_NON_LATIN_SPARK)
+    return localize(staged, "de").select(
+        "image_id",
+        F.when(is_lat, F.col("caption_l10n")).alias("latin_cap"),
+        (F.col("caption_l10n") != "").alias("nonempty"),
+        "cell_id", "tile_id")
+
+
+Q_LOCALIZE_DOCUMENTS_SQL = f"""
+WITH d AS (SELECT doc_id, substr(text, 1, 48) AS cap FROM documents),
+p AS (SELECT doc_id, cap,
+  ((doc_id * 37) % 360) - 180 + 0.5 AS lon,
+  ((doc_id * 7) % 160) - 80 + 0.5 AS lat FROM d),
+gc AS (SELECT doc_id, cap, lon, lat,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS cx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 512) AS BIGINT), 0), 511) AS cy
+  FROM p),
+{_spread_sql('gc', 'cx', 'cy')},
+cells AS (SELECT doc_id, cap, lon, lat,
+  ((9::BIGINT << 58) | morton) AS cell_id FROM s5),
+gt AS (SELECT doc_id, cap, cell_id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536) AS BIGINT), 0), 65535) AS cx,
+  LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 65536) AS BIGINT), 0), 65535) AS cy
+  FROM cells),
+{_spread_sql('gt', 'cx', 'cy').replace('s1 AS', 't1 AS').replace('s2 AS', 't2 AS')
+    .replace('s3 AS', 't3 AS').replace('s4 AS', 't4 AS').replace('s5 AS', 't5 AS')
+    .replace('FROM s1', 'FROM t1').replace('FROM s2', 'FROM t2')
+    .replace('FROM s3', 'FROM t3').replace('FROM s4', 'FROM t4')}
+SELECT 'doc_' || doc_id AS image_id,
+  CASE WHEN NOT regexp_matches(cap, '{RE_NON_LATIN_DUCK}') THEN cap END
+    AS latin_cap,
+  cap <> '' AS nonempty,
+  cell_id,
+  ((8::BIGINT << 58) | (morton >> 16)) AS tile_id
+FROM t5
+"""
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1321,6 +1421,7 @@ QUERIES = {
     "q_antijoin_resume": q_antijoin_resume,
     "q_window_events": q_window_events,
     "q_localize_documents": q_localize_documents,
+    "q_localize_mixed": q_localize_mixed,
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ann_lsh": q_ann_lsh,
@@ -1392,6 +1493,8 @@ ORACLES = {
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
+    "q_localize_mixed": Q_LOCALIZE_MIXED_SQL,
+    "q_localize_documents": Q_LOCALIZE_DOCUMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,
     "q_running_window": Q_RUNNING_WINDOW_SQL,
