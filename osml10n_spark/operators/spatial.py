@@ -18,7 +18,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 
 from ..udfs import udf_country_gated, udf_country_lookup
 
@@ -146,7 +145,7 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
                 .withColumn("ring", F.lit(1)) \
                 .withColumnRenamed("lon", "q_lon") \
                 .withColumnRenamed("lat", "q_lat")
-            near_heavy = (_ring_cells_df(qa)
+            near_heavy = (_ring_cells_df(qa, res, 1)
                           .filter(F.col("n_cell").isin(heavy_ids))
                           .select("qid").distinct())
             q_heavy = q_pts.join(F.broadcast(near_heavy), "qid")
@@ -197,37 +196,42 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
             ring += 1
 
     MAX_RING = 24                          # beyond this → brute force
+    # below this many pending queries another cell round costs more in
+    # fixed job overhead than the bounded brute-force fallback (measured
+    # ~5s/round on tiny frames vs <1s cross join at local scale; at
+    # cluster scale ≤64 queries against items is a broadcast NLJ)
+    MIN_ROUND_PENDING = 64
     round_results: list[DataFrame] = []
     stragglers: list[DataFrame] = []
     defer_unpersist: list[DataFrame] = []
     pending = pending.withColumn("ring", F.lit(ring)).persist()
     n_pending = None
+    cur_max_ring = ring           # driver-tracked bound → static offsets
+    guard = (F.col("ring") * cell_h) ** 2
     for rnd in range(max_rounds):
-        ring_cells = _ring_cells_df(pending)
+        ring_cells = _ring_cells_df(pending, res, cur_max_ring)
         cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
                 .withColumn("dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
                                               F.col("i_lon"), F.col("i_lat"))))
+        # ONE shuffle by qid serves rank, per-query count and kth: the
+        # unordered window reuses the rank window's partitioning (no
+        # extra exchange, no separate groupBy+join-back, no broadcast)
         w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
                                               F.col("iid").asc())
-        topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)).persist()
+        wq = Window.partitionBy("qid")
+        scored = (cand.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .withColumn("n", F.count("*").over(wq))
+                  .withColumn("kth", F.max("dist2").over(wq))).persist()
         # a query is proven-complete when its worst kept distance fits
         # inside its own guaranteed ring radius
-        stats = topk.groupBy("qid").agg(F.count("*").alias("n"),
-                                        F.max("dist2").alias("kth"))
-        st = pending.select("qid", "ring").join(stats, "qid", "left") \
-            .fillna({"n": 0})
-        guard = (F.col("ring") * cell_h) ** 2
-        done_q = st.filter((F.col("n") >= k) & (F.col("kth") <= guard)) \
-            .select("qid")
-        done_rows = topk.join(F.broadcast(done_q), "qid") \
-            .select("qid", "iid", "dist2", "rank").persist()
-        done_rows.count()
+        done_rows = scored.filter((F.col("n") >= k) & (F.col("kth") <= guard)) \
+            .select("qid", "iid", "dist2", "rank")
         round_results.append(done_rows)
-        # topk also feeds stats→unresolved/next_pending below; release
-        # it only after those are materialized (else the candidate join
-        # + window re-execute when next_pending.count() runs)
-        defer_unpersist.append(topk)
+        defer_unpersist.append(scored)
+        # per-query stats ride the rank-1 row — already unique per qid
+        per_q = scored.filter(F.col("rank") == 1).select("qid", "n", "kth")
+        st = pending.join(per_q, "qid", "left").fillna({"n": 0})
         # adaptive growth: a query that already holds k candidates only
         # needs ring' ≥ sqrt(kth)/cell_h — round 2 is then provably
         # final for it; candidate-starved queries grow 4×
@@ -236,21 +240,25 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
             F.greatest(F.ceil(F.sqrt(F.col("kth")) / F.lit(cell_h)),
                        F.col("ring") + 1)
         ).otherwise(F.col("ring") * 4).cast("int")
-        unresolved = (pending.drop("ring")
-                      .join(st.filter((F.col("n") < k) | (F.col("kth") > guard))
-                            .select("qid", new_ring.alias("ring")), "qid")
-                      .persist())
+        unresolved = (st.filter((F.col("n") < k) | (F.col("kth") > guard))
+                      .select("qid", "q_lon", "q_lat", "q_cell",
+                              new_ring.alias("ring")).persist())
         # ring overflow → isolated queries: route to the brute-force
         # fallback instead of joining thousands of cells per query
         stragglers.append(unresolved.filter(F.col("ring") > MAX_RING)
                           .drop("ring"))
         next_pending = unresolved.filter(F.col("ring") <= MAX_RING).persist()
-        n_before, n_pending = n_pending, next_pending.count()
+        stat = next_pending.agg(F.count("*").alias("n"),
+                                F.max("ring").alias("mr")).collect()[0]
+        n_before, n_pending = n_pending, stat.n
+        cur_max_ring = int(stat.mr) if stat.mr is not None else 1
         pending.unpersist()
         defer_unpersist.append(unresolved)   # stragglers still reference it
         pending = next_pending
         if n_pending == 0:
             break
+        if n_pending <= MIN_ROUND_PENDING:
+            break                          # residue → brute-force fallback
         if n_before is not None and n_pending == n_before:
             break                          # ring growth isn't resolving: bail
     leftovers = pending.select("qid", "q_lon", "q_lat")
@@ -281,9 +289,52 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     return results
 
 
-def _ring_cells_df(pending: DataFrame) -> DataFrame:
-    """Explode each pending query into the neighbor cell ids of its
-    own (per-row) ring radius."""
+def _ring_cells_df(pending: DataFrame, res: int,
+                   max_ring: int | None = None) -> DataFrame:
+    """Explode each pending query into the neighbor cell ids of its own
+    (per-row) ring radius — Chebyshev, lon wraps, lat clamps
+    (cellindex.k_ring parity; property-tested).
+
+    Physical shape: a STATIC literal (2R+1)² offset array explode with
+    flat post-explode bit math — pure JVM whole-stage codegen, zero
+    Python/Arrow crossing (HOF-lambda formulations of the same ring
+    fall into Catalyst's interpreted path at ~40 ms/row; a pandas UDF
+    pays a per-row Python loop that caps throughput at scale).  Per-row
+    rings smaller than R are trimmed by a filter.  The numpy fallback
+    only fires when 2R+1 ≥ nx (a ring that wraps the whole globe —
+    coarse res with huge radius), where wrap-around would duplicate
+    neighbor cells."""
+    from ..spatial.cellexpr import _RES_SHIFT, _compact, _spread
+
+    nx, ny = 2 ** (res + 1), 2 ** res
+    if max_ring is None:
+        max_ring = pending.agg(F.max("ring")).collect()[0][0] or 1
+    if 2 * max_ring + 1 >= nx:
+        return _ring_cells_py(pending)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dy in range(-max_ring, max_ring + 1)
+                     for dx in range(-max_ring, max_ring + 1)])
+    morton = F.col("q_cell").bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    e = (pending
+         .withColumn("qx", _compact(morton))
+         .withColumn("qy", _compact(F.shiftrightunsigned(morton, 1)))
+         .withColumn("o", F.explode(offs))
+         .filter((F.abs(F.col("o.dx")) <= F.col("ring"))
+                 & (F.abs(F.col("o.dy")) <= F.col("ring")))
+         .withColumn("n_y", F.col("qy") + F.col("o.dy"))
+         .filter((F.col("n_y") >= 0) & (F.col("n_y") < ny))
+         .withColumn("n_x", F.pmod(F.col("qx") + F.col("o.dx"), F.lit(nx))))
+    n_cell = F.lit(res << _RES_SHIFT).bitwiseOR(
+        _spread(F.col("n_x")).bitwiseOR(
+            F.shiftleft(_spread(F.col("n_y")), 1))).cast("long")
+    return (e.withColumn("n_cell", n_cell)
+            .select("qid", "q_lon", "q_lat", "ring", "n_cell"))
+
+
+def _ring_cells_py(pending: DataFrame) -> DataFrame:
+    """numpy k-ring fallback (handles lon wrap-around dedup exactly)."""
+    from pyspark.sql.types import ArrayType, LongType
+
     from ..spatial.cellindex import k_ring
 
     @pandas_udf(ArrayType(LongType()))
@@ -293,7 +344,7 @@ def _ring_cells_df(pending: DataFrame) -> DataFrame:
 
     return (pending.withColumn(
         "n_cell", F.explode(ring_udf(F.col("q_cell"), F.col("ring"))))
-        .select("qid", "q_lon", "q_lat", "n_cell"))
+        .select("qid", "q_lon", "q_lat", "ring", "n_cell"))
 
 
 def pip_join_rects(points: DataFrame, rects: list, lon_col: str = "lon",
@@ -344,7 +395,7 @@ def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
         F.col(lid_col).alias("qid"), F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"), F.col("cell_id").alias("q_cell"),
         F.lit(ring).alias("ring"))
-    ring_cells = _ring_cells_df(l)
+    ring_cells = _ring_cells_df(l, res, ring)
     r = assign_cells(right, res).select(
         F.col(rid_col).alias("rid"), F.col("lon").alias("r_lon"),
         F.col("lat").alias("r_lat"), F.col("cell_id").alias("r_cell"))

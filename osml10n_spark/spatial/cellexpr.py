@@ -69,6 +69,23 @@ def tile_expr(lon: Column, lat: Column, z: int = 8, maxz: int = 16) -> Column:
                              2 * (maxz - z))).cast("long")
 
 
+def _compact(x: Column) -> Column:
+    """Inverse of _spread (Morton decode half) — JVM twin of
+    cellindex._compact.  NOTE: higher-order-function formulations of the
+    k-ring over this (transform/filter lambdas) measured ~40 ms/row in
+    Catalyst's interpreted HOF path — 30× slower than even a per-row
+    pandas UDF; the fast JVM k-ring is the static-literal offset explode
+    in operators.spatial._ring_cells_df, which stays in whole-stage
+    codegen."""
+    x = x.bitwiseAND(F.lit(_M5))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 1))).bitwiseAND(F.lit(_M4))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 2))).bitwiseAND(F.lit(_M3))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 4))).bitwiseAND(F.lit(_M2))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 8))).bitwiseAND(F.lit(_M1))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 16))).bitwiseAND(F.lit(0xFFFFFFFF))
+    return x
+
+
 def parent_expr(cell: Column, res: int, parent_res: int) -> Column:
     """JVM twin of cellindex.cell_to_parent for known resolutions."""
     morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))

@@ -26,6 +26,31 @@ def _points_df(spark, n, seed, prefix):
         f"{'qid' if prefix=='q' else 'iid'} string, lon double, lat double")
 
 
+def test_ring_cells_static_matches_numpy_k_ring(spark):
+    """The static-offset JVM k-ring explode is set-identical to the
+    numpy kernel, including antimeridian wrap and pole clamp, for mixed
+    per-row rings; globe-wrapping rings route to the numpy fallback."""
+    from osml10n_spark.operators.spatial import _ring_cells_df
+    from osml10n_spark.spatial.cellindex import cell_from_lonlat, k_ring
+    rng = np.random.default_rng(11)
+    # (res, max ring): last case has 2R+1 ≥ nx → exercises the fallback
+    for res, rmax in ((5, 4), (7, 4), (9, 4), (2, 5)):
+        lon = np.concatenate([rng.uniform(-180, 180, 40), [179.99, -179.99]])
+        lat = np.concatenate([rng.uniform(-90, 90, 40), [89.9, -89.9]])
+        cells = cell_from_lonlat(lon, lat, res)
+        rings = (rng.integers(1, rmax + 1, len(cells))).astype(int)
+        df = spark.createDataFrame(
+            [(i, float(lon[i]), float(lat[i]), int(c), int(r))
+             for i, (c, r) in enumerate(zip(cells, rings))],
+            "qid long, q_lon double, q_lat double, q_cell long, ring int")
+        got = _ring_cells_df(df, res).groupBy("qid") \
+            .agg(F.collect_set("n_cell").alias("nbrs")).collect()
+        by_qid = {r.qid: set(r.nbrs) for r in got}
+        for i, (c, r) in enumerate(zip(cells, rings)):
+            expected = set(int(x) for x in k_ring(int(c), int(r)))
+            assert by_qid[i] == expected, (res, i, int(r))
+
+
 def test_knn_cells_matches_bruteforce(spark):
     q = _points_df(spark, 40, 1, "q")
     items = _points_df(spark, 400, 2, "i")
