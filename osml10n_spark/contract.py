@@ -1364,24 +1364,106 @@ WHERE CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) >= 0.8
 """
 
 
+def _ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query measured recall of an ANN result against the exact
+    top-k computed in the same job — the driver gate sees recall as
+    DATA, not just a row count."""
+    hits = (ann.select("qid", "iid")
+            .join(exact.select("qid", "iid"), ["qid", "iid"])
+            .groupBy("qid").agg(F.count("*").alias("hits")))
+    return (exact.select("qid").distinct()
+            .join(hits, "qid", "left").fillna({"hits": 0})
+            .select("qid", "hits",
+                    (F.col("hits") / float(k)).alias("recall")))
+
+
 def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with measured per-query recall against
+    the exact cosine top-k (computed in the same job).  FP hyperplane
+    signs aren't oracle-portable → rows-only, but the recall column
+    carries the quality evidence (pytest separately gates ≥0.9)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0) \
         .select(F.col("vec_id").alias("qid"), "embedding")
     items = e.select(F.col("vec_id").alias("iid"), "embedding")
     dim = len(e.select("embedding").first()[0])
-    return lsh_topk(q, items, 3, dim=dim, n_bits=6, n_tables=6)
+    ann = lsh_topk(q, items, 3, dim=dim, n_bits=4, n_tables=12)
+    exact = cosine_topk(q, items, 3)
+    return _ann_recall(ann, exact, 3)
 
 
 def q_ann_ivf(spark, sf_dir):
     """IVF-bucketed ANN (inverted lists on deterministic coarse
-    centroids, nprobe cluster probing) — the second scale path beside
-    LSH; approximate, so rows-only."""
+    centroids, nprobe cluster probing) with measured per-query recall
+    against the exact top-k — the second scale path beside LSH.  NOTE:
+    the synthetic embeddings are clusterless (intra-label cosine ≈
+    inter-label ≈ 0), so IVF recall here is bounded by the probe
+    fraction (nprobe/n_centroids); tests/test_operators.py proves ≥0.9
+    on data with real cluster structure."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0) \
         .select(F.col("vec_id").alias("qid"), "embedding")
     items = e.select(F.col("vec_id").alias("iid"), "embedding")
-    return ivf_topk(q, items, 3, n_centroids=16, nprobe=4)
+    ann = ivf_topk(q, items, 3, n_centroids=16, nprobe=6)
+    exact = cosine_topk(q, items, 3)
+    return _ann_recall(ann, exact, 3)
+
+
+def q_write_tiled(spark, sf_dir):
+    """S5 write path verified through the gate: sinks.write_tiled's
+    directory-partitioned, z-order-clustered parquet layout is written
+    and read BACK — cell_prefix comes from the DIRECTORY NAME on
+    re-read, so matching the oracle proves every row landed in its
+    correct coarse-cell partition; zorder_ok asserts (cell_id, tile_id)
+    monotonicity within each written file (the clustering invariant
+    that buys min-max row-group skipping at scale)."""
+    import os
+    import tempfile
+
+    from .sources.sinks import write_tiled
+    pts = _points(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "osml10n_gate_write_" + os.path.basename(sf_dir.rstrip("/")))
+    write_tiled(pts, path)
+    back = spark.read.parquet(path).withColumn(
+        "rid", F.monotonically_increasing_id())
+    wfile = Window.partitionBy(F.input_file_name()).orderBy("rid")
+    prev_c = F.lag("cell_id").over(wfile)
+    prev_t = F.lag("tile_id").over(wfile)
+    ok = (prev_c.isNull() | (prev_c < F.col("cell_id"))
+          | ((prev_c == F.col("cell_id")) & (prev_t <= F.col("tile_id"))))
+    return (back.withColumn("ok", ok)
+            .groupBy(F.col("cell_prefix").cast("long").alias("cell_prefix"))
+            .agg(F.count("*").alias("n"),
+                 F.min("cell_id").alias("min_cell"),
+                 F.max("cell_id").alias("max_cell"),
+                 F.bool_and("ok").alias("zorder_ok")))
+
+
+Q_WRITE_TILED_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id, lon, lat,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT), 0), 7) AS tx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 4) AS BIGINT), 0), 3) AS ty
+  FROM pts),
+{_spread_sql('g', 'tx', 'ty')},
+pre AS (SELECT id, lon, lat, ((2::BIGINT << 58) | morton) AS cell_prefix
+        FROM s5),
+gc AS (SELECT id, cell_prefix, lon, lat,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS tx,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 512) AS BIGINT), 0), 511) AS ty
+  FROM pre),
+{_spread_sql('gc', 'tx', 'ty').replace('s1 AS', 't1 AS').replace('s2 AS', 't2 AS')
+    .replace('s3 AS', 't3 AS').replace('s4 AS', 't4 AS').replace('s5 AS', 't5 AS')
+    .replace('FROM s1', 'FROM t1').replace('FROM s2', 'FROM t2')
+    .replace('FROM s3', 'FROM t3').replace('FROM s4', 'FROM t4')}
+SELECT cell_prefix, COUNT(*) AS n,
+  MIN((9::BIGINT << 58) | morton) AS min_cell,
+  MAX((9::BIGINT << 58) | morton) AS max_cell,
+  TRUE AS zorder_ok
+FROM t5 GROUP BY cell_prefix
+"""
 
 
 def q_image_features(spark, sf_dir):
@@ -1437,6 +1519,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_image_features": q_image_features,
     "q_payload_audit": q_payload_audit,
+    "q_write_tiled": q_write_tiled,
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,
@@ -1495,6 +1578,7 @@ ORACLES = {
     "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "q_localize_mixed": Q_LOCALIZE_MIXED_SQL,
     "q_localize_documents": Q_LOCALIZE_DOCUMENTS_SQL,
+    "q_write_tiled": Q_WRITE_TILED_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,
     "q_running_window": Q_RUNNING_WINDOW_SQL,

@@ -90,12 +90,15 @@ def lsh_topk(queries: DataFrame, items: DataFrame, k: int, dim: int,
         .withColumn("i_nrm", _norm(F.col("i_vec")))
     qb = bucketize(q, "qid", "q_vec")
     ib = bucketize(i, "iid", "i_vec")
-    cand = (qb.join(ib, "bucket")
-            .select("qid", "q_vec", "q_nrm", "iid", "i_vec", "i_nrm")
+    # dedup on the (qid, iid) PAIR KEYS only — full vectors never pass
+    # through the distinct shuffle; they rejoin once per surviving pair
+    cand = (qb.select("qid", "bucket")
+            .join(ib.select("iid", "bucket"), "bucket")
+            .select("qid", "iid")
             .distinct())
-    scored = cand.withColumn(
-        "cosine", _dot(F.col("q_vec"), F.col("i_vec"))
-        / (F.col("q_nrm") * F.col("i_nrm")))
+    scored = (cand.join(q, "qid").join(i, "iid")
+              .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
+                          / (F.col("q_nrm") * F.col("i_nrm"))))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("iid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -122,20 +125,21 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
     """
     i = items.select(F.col(iid_col).alias("iid"),
                      F.col(vec_col).alias("i_vec")) \
-        .withColumn("i_nrm", _norm(F.col("i_vec"))).persist()
+        .withColumn("i_nrm", _norm(F.col("i_vec")))
     # deterministic coarse centroids: the n_centroids items with the
     # smallest id hash — orderBy().limit() is a distributed TakeOrdered
-    # reduction (a global-window rank here would funnel every item
-    # through one partition); the id-sorted window below ranks only the
-    # n_centroids selected rows
+    # reduction; the tiny result is collected and rebuilt as a literal
+    # DataFrame (the daemon's prepared-at-startup dimension idiom), so
+    # nothing downstream depends on a cached lineage and no persist can
+    # leak executor storage across calls (callers cache the RESULT if
+    # they reuse it)
     picked = i.orderBy(F.xxhash64("iid").asc(), F.col("iid").asc()) \
-        .limit(n_centroids)
-    cents = (picked.withColumn(
-        "cid", F.row_number().over(Window.orderBy(F.col("iid").asc()))
-        .cast("long") - 1)
-        .select("cid", F.col("i_vec").alias("c_vec"),
-                F.col("i_nrm").alias("c_nrm"))
-        .persist())
+        .limit(n_centroids).collect()
+    picked.sort(key=lambda r: r.iid)
+    cents = items.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in r.i_vec], float(r.i_nrm))
+         for cid, r in enumerate(picked)],
+        "cid long, c_vec array<double>, c_nrm double")
 
     def _assign(df, vec, nrm, keep: int):
         """nearest ``keep`` centroids by cosine (broadcast centroid dim)."""
@@ -160,11 +164,9 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("iid").asc())
     # (qid, rank) is unique by construction — each item sits in exactly
-    # one inverted list, so no distinct/dedup shuffle is needed
-    out = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k)
-           .select("qid", "iid", "cosine", "rank")).persist()
-    out.count()                  # materialize, then release the caches
-    i.unpersist()
-    cents.unpersist()
-    return out
+    # one inverted list, so no distinct/dedup shuffle is needed; result
+    # is returned LAZY (centroids are a literal, items scan twice at
+    # most — callers persist the result if they iterate it)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "iid", "cosine", "rank"))

@@ -30,8 +30,10 @@ from .kernels.unaccent import unaccent as _unaccent
 
 __all__ = [
     "udf_unaccent", "udf_street_abbrev", "udf_localized_name",
+    "udf_is_latin", "udf_transliterate", "udf_country_name",
     "make_cascade_udf",
-    "udf_placename", "udf_streetname", "udf_country_lookup", "udf_cell_id",
+    "udf_placename", "udf_streetname", "udf_country_lookup",
+    "udf_country_gated", "udf_cell_id",
     "udf_tile_id", "udf_zorder_key", "register_all",
 ]
 
