@@ -192,19 +192,20 @@ def main() -> None:
             if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
                 scaling[cores] = res
 
+    import statistics
     levels = sorted(scaling)
     pairs = {}
     for a, b in zip(levels, levels[1:]):
-        # best matched-window ratio across repeats, and the
-        # best-per-level ratio — report whichever is higher (both are
-        # legitimate: matched windows control for host drift)
+        # matched-window ratios (same repeat = same host-burstiness
+        # window for both levels) are the primary evidence; the
+        # HEADLINE is their MEDIAN — the peak is reported under an
+        # explicit *_peak key (and also folds in the best-per-level
+        # ratio), never silently promoted
         per_rep = [(samples[b][r] / samples[a][r]) / (b / a)
                    for r in range(min(len(samples[a]), len(samples[b])))]
         best_level = (scaling[b]["rps"] / scaling[a]["rps"]) / (b / a)
-        # headline = PEAK matched-window ratio (labeled as such in the
-        # output); all per-repeat ratios are reported alongside so the
-        # selection is transparent rather than silently upward-biased
-        pairs[f"{a}->{b}"] = round(max(per_rep + [best_level]), 3)
+        pairs[f"{a}->{b}"] = round(statistics.median(per_rep), 3)
+        pairs[f"{a}->{b}_peak"] = round(max(per_rep + [best_level]), 3)
         pairs[f"{a}->{b}_runs"] = [round(x, 3) for x in per_rep]
     lo, hi = scaling[levels[0]], scaling[levels[-1]]
 
@@ -221,7 +222,10 @@ def main() -> None:
             "levels": {f"local[{c}]": round(scaling[c]["rps"], 1)
                        for c in levels},
             "efficiency_per_4x": pairs,
+            # headline = median matched-window ratio of the lowest pair
             "efficiency": pairs[f"{levels[0]}->{levels[1]}"]
+            if len(levels) > 1 else None,
+            "efficiency_peak": pairs[f"{levels[0]}->{levels[1]}_peak"]
             if len(levels) > 1 else None,
         },
     }))

@@ -35,14 +35,43 @@ class SnapshotStore:
     def _manifest_path(self, snap_id: str) -> str:
         return os.path.join(self.root, "snapshots", f"{snap_id}.json")
 
-    def last_snapshot(self) -> dict | None:
-        snaps = sorted(
-            f for f in os.listdir(os.path.join(self.root, "snapshots"))
-            if f.endswith(".json"))
-        if not snaps:
+    @staticmethod
+    def _write_manifest(path: str, manifest: dict) -> None:
+        """ATOMIC commit point: write to a sibling temp file and
+        os.replace onto the manifest path — a crash mid-write can never
+        leave a truncated manifest that poisons every later resume."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _read_manifest(path: str) -> dict | None:
+        """None for unparsable/unreadable manifests: an interrupted
+        (pre-atomic) or corrupted commit reads as UNCOMMITTED rather
+        than raising on every subsequent resume."""
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
             return None
-        with open(os.path.join(self.root, "snapshots", snaps[-1])) as f:
-            return json.load(f)
+
+    def _manifests(self) -> list[dict]:
+        snaps_dir = os.path.join(self.root, "snapshots")
+        out = []
+        if os.path.isdir(snaps_dir):
+            for fn in sorted(os.listdir(snaps_dir)):
+                if fn.endswith(".json"):
+                    m = self._read_manifest(os.path.join(snaps_dir, fn))
+                    if m is not None:
+                        out.append(m)
+        return out
+
+    def last_snapshot(self) -> dict | None:
+        snaps = self._manifests()
+        return snaps[-1] if snaps else None
 
     def commit(self, df: DataFrame, partition_keys: list[int],
                metrics: dict | None = None) -> dict:
@@ -66,8 +95,7 @@ class SnapshotStore:
             "metrics": metrics or {},
             "committed_at": time.time(),
         }
-        with open(self._manifest_path(snap_id), "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(self._manifest_path(snap_id), manifest)
         return manifest
 
     # ------------------------------------------------------------ resume
@@ -77,44 +105,32 @@ class SnapshotStore:
         commit and the streaming checkpoint re-delivers the epoch, and
         the manifest proves it already landed)."""
         out: set[int] = set()
-        snaps = os.path.join(self.root, "snapshots")
-        if os.path.isdir(snaps):
-            for fn in os.listdir(snaps):
-                if fn.endswith(".json"):
-                    with open(os.path.join(snaps, fn)) as f:
-                        ep = json.load(f).get("metrics", {}).get("epoch")
-                    if ep is not None:
-                        out.add(int(ep))
+        for m in self._manifests():
+            ep = m.get("metrics", {}).get("epoch")
+            if ep is not None:
+                out.add(int(ep))
         return out
 
     def update_metrics(self, snapshot_id: str, metrics: dict) -> None:
         """Attach post-commit metrics (e.g. observation results that
         only materialize after the write action) to a manifest."""
         path = self._manifest_path(snapshot_id)
-        with open(path) as f:
-            manifest = json.load(f)
+        manifest = self._read_manifest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest at {path}")
         manifest["metrics"] = metrics
-        with open(path, "w") as f:
-            json.dump(manifest, f, indent=1)
+        self._write_manifest(path, manifest)
 
     def completed_partitions(self) -> set[int]:
         done: set[int] = set()
-        snaps_dir = os.path.join(self.root, "snapshots")
-        for fn in sorted(os.listdir(snaps_dir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(snaps_dir, fn)) as f:
-                    done.update(json.load(f)["completed_partitions"])
+        for m in self._manifests():
+            done.update(m["completed_partitions"])
         return done
 
     def committed_output(self, spark: SparkSession) -> DataFrame | None:
         """Union of all committed snapshot data (each snapshot holds a
         disjoint partition subset in the incremental-batch pattern)."""
-        dirs = []
-        snaps_dir = os.path.join(self.root, "snapshots")
-        for fn in sorted(os.listdir(snaps_dir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(snaps_dir, fn)) as f:
-                    dirs.append(json.load(f)["data_dir"])
+        dirs = [m["data_dir"] for m in self._manifests()]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

@@ -233,9 +233,14 @@ HANGUL_INITIALS = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s",
 HANGUL_MEDIALS = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o",
                   "wa", "wae", "oe", "yo", "u", "wo", "we", "wi", "yu",
                   "eu", "ui", "i"]
-HANGUL_FINALS = ["", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg",
-                 "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "bs",
-                 "s", "ss", "ng", "j", "ch", "k", "t", "p", "h"]
+# Final (syllable-coda) consonants use the RR TRANSCRIPTION values —
+# obstruents neutralize to k/t/p in final position (한국 → hanguk,
+# 밥 → bap), clusters romanize by their pronounced member (여덟 →
+# yeodeol, 값 → gap); order = U+11A8..U+11C2:
+#  ㄱ ㄲ ㄳ ㄴ ㄵ ㄶ ㄷ ㄹ ㄺ ㄻ ㄼ ㄽ ㄾ ㄿ ㅀ ㅁ ㅂ ㅄ ㅅ ㅆ ㅇ ㅈ ㅊ ㅋ ㅌ ㅍ ㅎ
+HANGUL_FINALS = ["", "k", "k", "k", "n", "n", "n", "t", "l", "k",
+                 "m", "l", "l", "l", "p", "l", "m", "p", "p",
+                 "t", "t", "ng", "t", "t", "k", "t", "p", "t"]
 
 
 def hangul_to_latin(text: str) -> str:

@@ -27,6 +27,11 @@ def localize_stream(stream_df: DataFrame, store_root: str,
     from ..engine.job import add_cell_prefix
 
     store = SnapshotStore(store_root)
+    # loaded ONCE at stream start and appended to in memory — this
+    # writer is the only committer, so re-scanning every manifest per
+    # micro-batch (O(epochs) json parses) is pure overhead in a
+    # long-running stream
+    committed = store.committed_epochs()
 
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
@@ -34,13 +39,14 @@ def localize_stream(stream_df: DataFrame, store_root: str,
         # exactly-once: a crash AFTER commit but BEFORE the streaming
         # checkpoint re-delivers this epoch on restart — the manifest
         # (written last = the commit point) proves it already landed
-        if int(epoch_id) in store.committed_epochs():
+        if int(epoch_id) in committed:
             return
         staged = add_cell_prefix(batch_df)
         out = localize(staged, target_lang)
         keys = [r.cell_prefix for r in
                 staged.select("cell_prefix").distinct().collect()]
         store.commit(out, keys, metrics={"epoch": int(epoch_id)})
+        committed.add(int(epoch_id))
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

@@ -274,6 +274,14 @@ import pytest as _pytest
     ("Љубљана", "L̂ubl̂ana"),
     ("서울", "seoul"),
     ("부산", "busan"),
+    # obstruent finals neutralize to k/t/p per the RR transcription
+    # table (NOT the lenis initial letters g/d/b)
+    ("한국", "hanguk"),
+    ("밥", "bap"),
+    ("값", "gap"),
+    ("여덟", "yeodeol"),
+    ("부엌", "bueok"),
+    ("꽃", "kkot"),
     ("თბილისი", "tbilisi"),
 ])
 def test_extended_script_transliteration(src, expected):

@@ -122,3 +122,39 @@ def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
     assert process_like_stream(batch, 0) is False      # replay skipped
     out = store.committed_output(spark)
     assert out.count() == 60                           # no duplicates
+
+
+def test_corrupt_manifest_reads_as_uncommitted(spark, tmp_path):
+    """A truncated manifest (crash mid-write before the atomic-replace
+    era, or disk corruption) must quarantine as UNCOMMITTED — resume
+    scans keep working and the snapshot's partitions re-run instead of
+    every later resume raising."""
+    import json
+    import os
+
+    from osml10n_spark.engine.snapshots import SnapshotStore
+    from osml10n_spark.sources.datagen import generate_images
+    from osml10n_spark.engine.job import add_cell_prefix
+
+    root = str(tmp_path / "corrupt")
+    store = SnapshotStore(root)
+    batch = add_cell_prefix(generate_images(spark, 40, seed=5,
+                                            with_images=False))
+    keys = [r.cell_prefix for r in
+            batch.select("cell_prefix").distinct().collect()]
+    m1 = store.commit(batch, keys[:1], metrics={"epoch": 0})
+    store.commit(batch, keys[1:2], metrics={"epoch": 1})
+    # truncate the second manifest mid-JSON
+    snaps = sorted(os.listdir(os.path.join(root, "snapshots")))
+    broken = os.path.join(root, "snapshots", snaps[-1])
+    with open(broken) as f:
+        txt = f.read()
+    with open(broken, "w") as f:
+        f.write(txt[: len(txt) // 2])
+    # resume surfaces: no raise, corrupt snapshot invisible
+    assert store.completed_partitions() == set(keys[:1])
+    assert store.committed_epochs() == {0}
+    assert store.last_snapshot()["snapshot_id"] == m1["snapshot_id"]
+    assert store.committed_output(spark).count() == 40
+    # no stray temp files from the atomic writer
+    assert not [f for f in snaps if f.endswith(".tmp")]
