@@ -1588,5 +1588,15 @@ ORACLES = {
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
     """entry() target: documents-derived image+caption table through the
-    full localization + cell/tile pipeline."""
-    return q_localize_documents(spark, sf_dir)
+    full localization + cell/tile pipeline — stable 4-column schema
+    (image_id, caption_l10n, cell_id, tile_id) for the driver smoke."""
+    from .engine.localize import localize
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.substring(F.col("text"), 1, 48).alias("caption"),
+        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
+        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
+        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+    return localize(staged, "de").select("image_id", "caption_l10n",
+                                         "cell_id", "tile_id")
