@@ -141,11 +141,19 @@ def main() -> None:
 
     queries = images.filter(F.col("lat").between(-60, 75)).limit(1000) \
         .select(F.col("image_id").alias("qid"), "lon", "lat")
-    t0 = time.time()
-    knn_cells(queries, images.select(F.col("image_id").alias("iid"),
-                                     "lon", "lat"),
-              k=5, res=7, qid_col="qid", iid_col="iid").count()
-    timings["q_knn_cells"] = round(time.time() - t0, 3)
+    # min-of-3 like the flagship: the host's CPU burstiness makes a
+    # single sample of the heaviest operator 2-3× noisy
+    best_knn = None
+    for _ in range(3):
+        t0 = time.time()
+        r = knn_cells(queries, images.select(F.col("image_id").alias("iid"),
+                                             "lon", "lat"),
+                      k=5, res=7, qid_col="qid", iid_col="iid")
+        r.count()
+        el = time.time() - t0
+        r.unpersist()               # knn_cells returns a persisted result
+        best_knn = el if best_knn is None or el < best_knn else best_knn
+    timings["q_knn_cells"] = round(best_knn, 3)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.time()

@@ -120,6 +120,51 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory, staged):
         spark.sql("DROP TABLE IF EXISTS b_right")
 
 
+def test_embedding_dups_plan_is_bucketed_not_cartesian(spark):
+    """Sign-band blocking must plan as equi-joins — the round-1 all-pairs
+    theta join (cartesian at scale) is gone from the default path."""
+    from osml10n_spark.operators.dedup import embedding_dups
+    from osml10n_spark.plans import physical_plan
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical_plan(embedding_dups(e, "vec_id", "embedding",
+                                        threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the brute-force small-n oracle path still exists, explicitly
+    brute = physical_plan(embedding_dups(e.limit(50), "vec_id", "embedding",
+                                         threshold=0.9, brute=True))
+    assert ("BroadcastNestedLoopJoin" in brute
+            or "CartesianProduct" in brute)
+
+
+def test_knn_ring_explode_is_jvm_only(spark):
+    """The static-offset k-ring explode stays entirely in the JVM: no
+    Python island of any kind in the candidate-generation plan."""
+    from osml10n_spark.operators.spatial import _ring_cells_df, assign_cells
+    from osml10n_spark.plans import physical_plan
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i % 80) - 40.0) for i in range(100)],
+        "qid long, lon double, lat double")
+    pending = assign_cells(pts, 7) \
+        .select("qid", F.col("lon").alias("q_lon"),
+                F.col("lat").alias("q_lat"),
+                F.col("cell_id").alias("q_cell")) \
+        .withColumn("ring", F.lit(2))
+    plan = physical_plan(_ring_cells_df(pending, 7, 2))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_simhash_is_jvm_native(spark):
+    """The portable md5-nibble simhash never crosses into Python."""
+    from osml10n_spark.operators.dedup import simhash64
+    from osml10n_spark.plans import physical_plan
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(simhash64(d, "doc_id", "text"))
+    assert "EvalPython" not in plan
+
+
 def test_tiled_layout_prunes_partitions(spark, tmp_path_factory, staged):
     """The geo-partitioned write layout gives partition pruning for
     cell-prefix predicates: the scan must list a PartitionFilter and
