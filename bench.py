@@ -71,18 +71,20 @@ def _run_flagship(spark, staged_dir: str, part: int | None = None,
 
 
 def worker_main(cores: int, staged: str, slice_part: int = 0) -> None:
-    """One warm-up + ONE timed half-table run per fresh JVM; the
-    interleaved 3-repeat schedule in main() gives 3 matched samples per
+    """One warm-up + ONE timed FULL-TABLE run per fresh JVM; the
+    interleaved repeat schedule in main() gives matched samples per
     level (the sandbox VM has bursty CPU; single samples can be off by
-    5-10x).  The timed slice is half the table (~3.6M rows) so fixed
-    stage overhead (~1s) stays small relative to run time even at 32
-    cores — smaller slices penalize the high-core levels ~25%."""
+    5-10x).  Timing the full 7.2M-row table (each rep is a fresh JVM,
+    so per-worker memos are cold regardless) keeps fixed stage overhead
+    (~1s) under ~5% of run time even at the highest core count —
+    round-1 measured small slices penalizing high-core levels ~25%,
+    and half-table slices still ~8%."""
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
-    # small warm-up slice (JIT + Arrow + boundary-index build); the
-    # timed half-table is cold for this JVM's workers
+    # small warm-up slice (JIT + Arrow + boundary-index build); ~6% of
+    # the timed rows get memo-warmed by it, identically at every level
     _run_flagship(spark, staged, part=15, parts=16)
-    sec, n = _run_flagship(spark, staged, part=slice_part % 2, parts=2)
+    sec, n = _run_flagship(spark, staged, part=None)
     print(json.dumps({"cores": cores, "sec": sec, "rows": n,
                       "rps": n / sec}), flush=True)
     spark.stop()
@@ -178,13 +180,19 @@ def main() -> None:
     # then computed within a repeat (matched conditions) as well as
     # from the best per level
     t_scale = time.time()
-    for _rep in range(4):
+    for _rep in range(6):
         # budget guard: stop adding repeats once ~8 min of scaling
         # evidence is collected (every level keeps ≥1 matched sample)
         if _rep and time.time() - t_scale > 480 \
                 and all(samples[c] for c in core_levels):
             break
-        for cores in core_levels:
+        # the north-rule pair is the two LOWEST levels (the top level is
+        # host-bandwidth-bound — BENCH.md documents the DRAM ceiling with
+        # engine-free controls): only repeat 0 samples the top level; all
+        # remaining budget buys matched (N, 4N) pairs so the headline
+        # median survives the host's minutes-long throttle windows
+        rep_levels = core_levels if _rep < 1 else core_levels[:2]
+        for cores in rep_levels:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker-cores", str(cores),
                  "--staged", staged_scale, "--slice", str(_rep)],

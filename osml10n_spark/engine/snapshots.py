@@ -127,10 +127,25 @@ class SnapshotStore:
             done.update(m["completed_partitions"])
         return done
 
-    def committed_output(self, spark: SparkSession) -> DataFrame | None:
-        """Union of all committed snapshot data (each snapshot holds a
-        disjoint partition subset in the incremental-batch pattern)."""
-        dirs = [m["data_dir"] for m in self._manifests()]
+    def committed_output(self, spark: SparkSession,
+                         as_of: int | str | None = None) -> DataFrame | None:
+        """Union of committed snapshot data (each snapshot holds a
+        disjoint partition subset in the incremental-batch pattern).
+
+        ``as_of`` gives Iceberg-style TIME TRAVEL: pass a snapshot id or
+        a seq number and only snapshots committed up to and including it
+        are read — the table exactly as that commit left it."""
+        manifests = self._manifests()
+        if as_of is not None:
+            cut = None
+            for idx, m in enumerate(manifests):
+                if m["snapshot_id"] == as_of or m["seq"] == as_of:
+                    cut = idx
+                    break
+            if cut is None:
+                raise KeyError(f"no committed snapshot {as_of!r}")
+            manifests = manifests[:cut + 1]
+        dirs = [m["data_dir"] for m in manifests]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

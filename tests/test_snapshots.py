@@ -158,3 +158,27 @@ def test_corrupt_manifest_reads_as_uncommitted(spark, tmp_path):
     assert store.committed_output(spark).count() == 40
     # no stray temp files from the atomic writer
     assert not [f for f in snaps if f.endswith(".tmp")]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """committed_output(as_of=...) reads the table exactly as that
+    commit left it (Iceberg-style time travel by snapshot id or seq)."""
+    import pytest
+
+    from osml10n_spark.engine.snapshots import SnapshotStore
+    from osml10n_spark.sources.datagen import generate_images
+    from osml10n_spark.engine.job import add_cell_prefix
+
+    root = str(tmp_path / "tt")
+    store = SnapshotStore(root)
+    batch = add_cell_prefix(generate_images(spark, 50, seed=9,
+                                            with_images=False))
+    first = batch.limit(20)
+    rest = batch.join(first.select("image_id"), "image_id", "left_anti")
+    m1 = store.commit(first, [0])
+    store.commit(rest, [1])
+    assert store.committed_output(spark).count() == 50
+    assert store.committed_output(spark, as_of=m1["snapshot_id"]).count() == 20
+    assert store.committed_output(spark, as_of=0).count() == 20   # by seq
+    with pytest.raises(KeyError):
+        store.committed_output(spark, as_of="nope")
