@@ -189,6 +189,121 @@ FROM s
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule pretraining quality signals (words, mean word length,
+    symbol/bullet/ellipsis/alpha fractions + combined pass flag) — all
+    JVM expressions, each ratio floor-truncated for exact cross-engine
+    parity."""
+    from .operators.textops import gopher_flags
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_flags(F.col("text"))
+    return d.select("doc_id", g.getField("words").alias("words"),
+                    g.getField("mean_word_len").alias("mean_word_len"),
+                    g.getField("symbol_ratio").alias("symbol_ratio"),
+                    g.getField("bullet_frac").alias("bullet_frac"),
+                    g.getField("ellipsis_frac").alias("ellipsis_frac"),
+                    g.getField("alpha_word_frac").alias("alpha_word_frac"),
+                    g.getField("gopher_pass").alias("gopher_pass"))
+
+
+Q_GOPHER_QUALITY_SQL = rf"""
+WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, text, t,
+  CAST(CASE WHEN length(t) = 0 THEN 0
+       ELSE len(string_split(t, ' ')) END AS BIGINT) AS words,
+  CAST(length(replace(t, ' ', '')) AS DOUBLE) AS word_chars,
+  CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS symbols,
+  CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
+  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+    AS bullet_lines,
+  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS DOUBLE)
+    AS ellipsis_lines,
+  CAST(len(regexp_extract_all(' ' || t, ' [^ ]*\p{{L}}')) AS DOUBLE)
+    AS alpha_words
+  FROM n),
+m AS (SELECT doc_id, words,
+  CASE WHEN words > 0 THEN floor(word_chars / words * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS mean_word_len,
+  CASE WHEN words > 0 THEN floor(symbols / words * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS symbol_ratio,
+  floor(bullet_lines / n_lines * 1000000.0) / 1000000.0 AS bullet_frac,
+  floor(ellipsis_lines / n_lines * 1000000.0) / 1000000.0 AS ellipsis_frac,
+  CASE WHEN words > 0 THEN
+    floor(alpha_words / words * 1000000.0) / 1000000.0
+    ELSE 0.0 END AS alpha_word_frac
+  FROM w)
+SELECT doc_id, words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_word_frac,
+  (words >= 3 AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.6) AS gopher_pass
+FROM m
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Duplicate word-n-gram fractions (the Gopher repetition filter) —
+    measured on the raw text AND a self-concatenation (provably
+    repetitive), as pure array expressions."""
+    from .operators.textops import repetition_ratio
+    d = _t(spark, sf_dir, "documents")
+    doubled = F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    return d.select("doc_id",
+                    repetition_ratio(F.col("text"), 2).alias("rep2"),
+                    repetition_ratio(doubled, 2).alias("rep2_doubled"),
+                    repetition_ratio(F.col("text"), 3).alias("rep3"))
+
+
+def _rep_sql(src: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""(
+  SELECT CASE WHEN len(ws) - {n - 1} >= 1 THEN
+    floor(CAST(len(ws) - {n - 1}
+           - len(list_distinct(list_transform(
+               generate_series(1, len(ws) - {n - 1}), i -> {gram})))
+          AS DOUBLE) / (len(ws) - {n - 1}) * 1000000.0) / 1000000.0
+    ELSE 0.0 END
+  FROM (SELECT string_split({src}, ' ') AS ws))"""
+
+
+Q_REPETITION_SQL = rf"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t,
+  {_NORM_SQL.replace('text', "(text || ' ' || text)")} AS td
+  FROM documents)
+SELECT doc_id,
+  {_rep_sql('t', 2)} AS rep2,
+  {_rep_sql('td', 2)} AS rep2_doubled,
+  {_rep_sql('t', 3)} AS rep3
+FROM n
+"""
+
+
+def q_clean_text(spark, sf_dir):
+    """Boilerplate strip (URLs, e-mails, whitespace collapse) on a
+    constructed corpus — the oracle re-derives with DuckDB's RE2, an
+    independent regex engine, over the same dialect-portable patterns."""
+    from .operators.textops import clean_text
+    n = _t(spark, sf_dir, "nation")
+    dirty = F.concat(
+        F.lit("See https://x.test/a?b=1&c=%20 and mail "),
+        F.lit("bob.smith+x@ex-ample.co.uk  or http://t.co "),
+        F.col("n_name"), F.lit("   end"))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    clean_text(dirty).alias("cleaned"))
+
+
+Q_CLEAN_TEXT_SQL = r"""
+WITH c AS (SELECT n_nationkey AS id,
+  'See https://x.test/a?b=1&c=%20 and mail bob.smith+x@ex-ample.co.uk  or http://t.co '
+    || n_name || '   end' AS dirty FROM nation)
+SELECT id, trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+  'https?://\S+', ' ', 'g'),
+  '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
+  '\s+', ' ', 'g')) AS cleaned
+FROM c
+"""
+
+
 def q_unaccent(spark, sf_dir):
     """F1 unaccent kernel vs DuckDB strip_accents (same decomposition
     semantics on latin corpora; ß preserved on both sides)."""
@@ -1486,6 +1601,9 @@ QUERIES = {
     "q_script_flags": q_script_flags,
     "q_lang_profile": q_lang_profile,
     "q_quality_tokens": q_quality_tokens,
+    "q_gopher_quality": q_gopher_quality,
+    "q_repetition": q_repetition,
+    "q_clean_text": q_clean_text,
     "q_unaccent": q_unaccent,
     "q_abbrev_ru": q_abbrev_ru,
     "q_pip_squares": q_pip_squares,
@@ -1540,6 +1658,9 @@ ORACLES = {
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,
     "q_quality_tokens": Q_QUALITY_TOKENS_SQL,
+    "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
+    "q_repetition": Q_REPETITION_SQL,
+    "q_clean_text": Q_CLEAN_TEXT_SQL,
     "q_unaccent": Q_UNACCENT_SQL,
     "q_abbrev_ru": Q_ABBREV_RU_SQL,
     "q_pip_squares": Q_PIP_SQUARES_SQL,

@@ -353,3 +353,31 @@ def test_radius_join_wide_radius_covers(spark):
            radius_join(pts, pts, 120.0, lid_col="id", rid_col="id").collect()}
     assert (1, 2) in got and (2, 3) in got and (2, 1) in got
     assert (1, 3) not in got          # 170° > 120°
+
+
+def test_gopher_flags_and_repetition(spark):
+    from osml10n_spark.operators.textops import (clean_text, gopher_flags,
+                                                 repetition_ratio)
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, "- one\n- two\n- three"),
+        (4, "####### ## #"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = gopher_flags(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", g.alias("g"),
+        repetition_ratio(F.col("text"), 2).alias("rep2")).collect()}
+    assert out[1].g.gopher_pass is True and out[1].rep2 == 0.0
+    assert out[2].rep2 > 0.8                       # 7 bigrams, 1 distinct
+    assert out[3].g.bullet_frac == 1.0 and out[3].g.gopher_pass is False
+    assert out[4].g.symbol_ratio > 0.1 and out[4].g.gopher_pass is False
+    assert out[5].g.words == 0 and out[5].rep2 == 0.0
+
+    cleaned = df.filter(F.col("doc_id") == 1).select(
+        clean_text(F.concat(F.lit("go to https://a.b/c x@y.zz  "),
+                            F.col("text"))).alias("c")).first().c
+    assert cleaned.startswith("go to The quick")
+    assert "https" not in cleaned and "@" not in cleaned
