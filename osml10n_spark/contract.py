@@ -1581,6 +1581,22 @@ FROM t5 GROUP BY cell_prefix
 """
 
 
+def q_cell_embedding_profile(spark, sf_dir):
+    """Grouped-map (applyInPandas) per-cell embedding profile: count,
+    mean norm, dominant-eigenvalue share via power iteration — the
+    genuinely-iterative per-group computation built-ins can't express
+    (SURVEY §2.10); deterministic (in-group sort, fixed start vector)
+    but not SQL-derivable → rows-only."""
+    from .operators.similarity import cell_embedding_profile
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "embedding",
+        "CAST(((vec_id * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon",
+        "CAST(((vec_id * 7) % 160) - 80 + 0.5 AS DOUBLE) AS lat")
+    c = assign_cells(e, res=3)
+    return cell_embedding_profile(c) \
+        .select("cell", "n", "mean_norm", "top_eig_share")
+
+
 def q_image_features(spark, sf_dir):
     """F23/multimodal: mapInPandas decode of opaque binary payloads with
     typed metadata (engine codecs; real-world fmts stubbed), per-channel
@@ -1638,6 +1654,7 @@ QUERIES = {
     "q_image_features": q_image_features,
     "q_payload_audit": q_payload_audit,
     "q_write_tiled": q_write_tiled,
+    "q_cell_embedding_profile": q_cell_embedding_profile,
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cell_embedding_profile"]
 
 
 def _dot(a, b):
@@ -170,3 +170,53 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "iid", "cosine", "rank"))
+
+
+def cell_embedding_profile(df: DataFrame, cell_col: str = "cell_id",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           power_iters: int = 8) -> DataFrame:
+    """Per-cell embedding summary via applyInPandas (grouped-map): row
+    count, mean vector norm, and the dominant-eigenvalue share of the
+    cell's covariance (power iteration — deterministic: rows sorted by
+    id inside each group, fixed all-ones start vector).  The curation
+    signal for drift/cluster collapse per spatial cell.
+
+    This is the genuinely-iterative per-group computation the built-in
+    operators can't express (SURVEY §2.10's grouped-map slot): one
+    shuffle on the grouping key, numpy inside.  Output:
+    (cell, n, mean_norm, top_eig_share)."""
+    import numpy as np
+    import pandas as pd
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        n = mat.shape[0]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        share = 0.0
+        if n > 1:
+            cov = centered.T @ centered / (n - 1)
+            v = np.ones(cov.shape[0])
+            for _ in range(power_iters):
+                v = cov @ v
+                nv = np.linalg.norm(v)
+                if nv == 0.0:
+                    break
+                v /= nv
+            lam = float(v @ cov @ v)
+            tr = float(np.trace(cov))
+            share = lam / tr if tr > 0 else 0.0
+        return pd.DataFrame({
+            "cell": [pdf[cell_col].iloc[0]],
+            "n": [n],
+            "mean_norm": [float(norms.mean())],
+            "top_eig_share": [share],
+        })
+
+    return (df.select(F.col(cell_col), F.col(id_col), F.col(vec_col))
+            .groupBy(cell_col)
+            .applyInPandas(profile,
+                           schema="cell long, n long, mean_norm double, "
+                                  "top_eig_share double"))

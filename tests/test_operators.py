@@ -381,3 +381,21 @@ def test_gopher_flags_and_repetition(spark):
                             F.col("text"))).alias("c")).first().c
     assert cleaned.startswith("go to The quick")
     assert "https" not in cleaned and "@" not in cleaned
+
+
+def test_cell_embedding_profile(spark):
+    """applyInPandas per-cell profile: anisotropic cell shows dominant
+    eigen-share ~1, and the computation is deterministic across runs."""
+    from osml10n_spark.operators.similarity import cell_embedding_profile
+    rows = ([(1, i, [float(i + 1), 0.0, 0.0]) for i in range(6)]
+            + [(2, 10 + i, v) for i, v in enumerate(
+                [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                 [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]])])
+    df = spark.createDataFrame(
+        rows, "cell_id long, vec_id long, embedding array<double>")
+    out = {r.cell: r for r in cell_embedding_profile(df).collect()}
+    assert out[1].n == 6 and out[1].top_eig_share > 0.999
+    assert out[2].n == 6 and out[2].top_eig_share < 0.5
+    again = {r.cell: r for r in cell_embedding_profile(df).collect()}
+    assert all(again[k].top_eig_share == out[k].top_eig_share
+               and again[k].mean_norm == out[k].mean_norm for k in out)
