@@ -71,27 +71,25 @@ def _run_flagship(spark, staged_dir: str, part: int | None = None,
 
 
 def worker_main(cores: int, staged: str, slice_part: int = 0) -> None:
-    """One warm-up + TWO timed half-table runs (disjoint slices, best
-    kept) per fresh JVM.  Half-table slices (~3.6M rows) keep fixed
-    stage overhead small at every core count (round-1 measured small
-    slices penalizing high-core levels ~25%); the within-JVM best-of-2
-    damps the host's minutes-long throttle windows per sample, and the
-    interleaved repeat schedule in main() still gives matched
-    (same-window) samples across levels.  (A full-table variant was
-    A/B-ed: it sped the low-core level up and slowed the high-core one
-    — worse ratios with fewer samples.)"""
+    """One warm-up + ONE timed half-table run per fresh JVM; the
+    interleaved repeat schedule in main() gives matched samples per
+    level (the sandbox VM has bursty CPU; single samples can be off by
+    5-10x).  The timed slice is half the table (~3.6M rows) so fixed
+    stage overhead (~1s) stays small relative to run time even at 32
+    cores — smaller slices penalize the high-core levels ~25%.  Two
+    variants were A/B-ed and REJECTED: full-table timed runs and
+    within-JVM best-of-2 both let the low-core level (longer wall time
+    per run) harvest disproportionately more JIT warmth / burstiness
+    upside, biasing the N→4N ratio DOWN ~0.1-0.2 despite measuring
+    each level 'better'."""
     from osml10n_spark.engine.session import build_session
     spark = build_session(app_name=f"bench-w{cores}", cores=cores)
     # small warm-up slice (JIT + Arrow + boundary-index build); the
-    # timed halves are cold for this JVM's workers
+    # timed half-table is cold for this JVM's workers
     _run_flagship(spark, staged, part=15, parts=16)
-    best = None
-    for half in (0, 1):
-        sec, n = _run_flagship(spark, staged, part=half, parts=2)
-        rps = n / sec
-        if best is None or rps > best["rps"]:
-            best = {"cores": cores, "sec": sec, "rows": n, "rps": rps}
-    print(json.dumps(best), flush=True)
+    sec, n = _run_flagship(spark, staged, part=slice_part % 2, parts=2)
+    print(json.dumps({"cores": cores, "sec": sec, "rows": n,
+                      "rps": n / sec}), flush=True)
     spark.stop()
 
 
