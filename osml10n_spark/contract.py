@@ -304,6 +304,95 @@ FROM c
 """
 
 
+def q_curate(spark, sf_dir):
+    """The composed curation pipeline (exact dedup → Gopher+repetition
+    quality gate → language profile) with a FULL oracle: every stage is
+    individually oracled, and this query proves the COMPOSITION — the
+    dedup keep-set, the gate predicate and the surviving rows' signals
+    are re-derived end-to-end in DuckDB.  The corpus plants one victim
+    per stage: exact duplicates (doc_id+100000), a high-repetition doc
+    (+200000) and a symbol-spam doc (+300000) — each must die in its
+    own stage on BOTH engines."""
+    from .engine.curate import curate
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 100030)) \
+        .unionAll(d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.lit("spam spam spam spam spam spam spam spam").alias("text"))
+        .filter(F.col("doc_id") < 200005)) \
+        .unionAll(d.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.lit("alpha # beta # gamma # # # #").alias("text"))
+        .filter(F.col("doc_id") < 300005))
+    out, _ = curate(planted, with_metrics=False)
+    return out.select("doc_id", F.col("quality.words").alias("words"),
+                      F.col("repetition").alias("repetition"), "lang")
+
+
+Q_CURATE_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+  UNION ALL SELECT doc_id + 200000,
+    'spam spam spam spam spam spam spam spam' FROM documents WHERE doc_id < 5
+  UNION ALL SELECT doc_id + 300000,
+    'alpha # beta # gamma # # # #' FROM documents WHERE doc_id < 5),
+n0 AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM corpus),
+k AS (SELECT md5(t) AS dk, MIN(doc_id) AS keep_id FROM n0 GROUP BY 1),
+d AS (SELECT n0.doc_id, n0.text, n0.t FROM n0
+      JOIN k ON md5(n0.t) = k.dk AND n0.doc_id = k.keep_id),
+w AS (SELECT doc_id, text, t,
+  CAST(CASE WHEN length(t) = 0 THEN 0
+       ELSE len(string_split(t, ' ')) END AS BIGINT) AS words,
+  CAST(length(replace(t, ' ', '')) AS DOUBLE) AS word_chars,
+  CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS symbols,
+  CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
+  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+    AS bullet_lines,
+  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS DOUBLE)
+    AS ellipsis_lines,
+  CAST(len(regexp_extract_all(' ' || t, ' [^ ]*\p{{L}}')) AS DOUBLE)
+    AS alpha_words
+  FROM d),
+m AS (SELECT doc_id, text, t, words,
+  CASE WHEN words > 0 THEN floor(word_chars / words * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS mean_word_len,
+  CASE WHEN words > 0 THEN floor(symbols / words * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS symbol_ratio,
+  floor(bullet_lines / n_lines * 1000000.0) / 1000000.0 AS bullet_frac,
+  floor(ellipsis_lines / n_lines * 1000000.0) / 1000000.0 AS ellipsis_frac,
+  CASE WHEN words > 0 THEN
+    floor(alpha_words / words * 1000000.0) / 1000000.0
+    ELSE 0.0 END AS alpha_word_frac
+  FROM w),
+q AS (SELECT doc_id, text, t, words,
+  (words >= 3 AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.6) AS gopher_pass,
+  {_rep_sql('t', 2)} AS rep2
+  FROM m),
+h AS (SELECT doc_id, words, gopher_pass, rep2, text,
+  len(regexp_extract_all(lower(text), '\b(der|die|das|und|straße|platz)\b')) AS de_h,
+  len(regexp_extract_all(lower(text), '\b(le|la|les|rue|avenue|de la)\b')) AS fr_h,
+  len(regexp_extract_all(lower(text), '\b(the|street|road|of|and)\b')) AS en_h
+  FROM q)
+SELECT doc_id, words, rep2 AS repetition,
+  CASE
+    WHEN regexp_matches(text, '{RE_CJK_DUCK}') THEN 'cjk'
+    WHEN regexp_matches(text, '{RE_THAI_DUCK}') THEN 'th'
+    WHEN regexp_matches(text, '{RE_CYR_DUCK}') THEN 'cyrillic'
+    WHEN regexp_matches(text, '{RE_NON_LATIN_DUCK}') THEN 'other'
+    WHEN de_h > fr_h AND de_h > en_h THEN 'de'
+    WHEN fr_h > en_h THEN 'fr'
+    WHEN en_h > 0 THEN 'en'
+    ELSE 'latin' END AS lang
+FROM h
+WHERE gopher_pass AND rep2 <= 0.3
+"""
+
+
 def q_unaccent(spark, sf_dir):
     """F1 unaccent kernel vs DuckDB strip_accents (same decomposition
     semantics on latin corpora; ß preserved on both sides)."""
@@ -1620,6 +1709,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_repetition": q_repetition,
     "q_clean_text": q_clean_text,
+    "q_curate": q_curate,
     "q_unaccent": q_unaccent,
     "q_abbrev_ru": q_abbrev_ru,
     "q_pip_squares": q_pip_squares,
@@ -1678,6 +1768,7 @@ ORACLES = {
     "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
     "q_repetition": Q_REPETITION_SQL,
     "q_clean_text": Q_CLEAN_TEXT_SQL,
+    "q_curate": Q_CURATE_SQL,
     "q_unaccent": Q_UNACCENT_SQL,
     "q_abbrev_ru": Q_ABBREV_RU_SQL,
     "q_pip_squares": Q_PIP_SQUARES_SQL,

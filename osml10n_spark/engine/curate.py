@@ -1,0 +1,80 @@
+"""End-to-end training-data curation pipeline: the engine's operators
+composed the way a pretraining-corpus build actually uses them —
+
+    exact dedup  →  quality gate (Gopher rules + repetition)  →
+    language profile  →  caption localization  →  metrics
+
+One call, DataFrame in / DataFrame out, every stage built from the
+already-oracled operators so the composition itself stays verifiable:
+the driver-contract query q_curate re-derives the full latin-path
+output (dedup keep-set, quality signals, kept-row predicate, localized
+caption) in DuckDB.
+
+Plan shape at scale: ONE shuffle for the dedup groupBy(md5) + one
+broadcast-free semi join back on doc id; the quality gate and language
+profile are map-side JVM expressions; localization adds its single
+Arrow island.  Metrics ride ``df.observe`` (no extra action).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from ..operators.dedup import normalize_text
+from ..operators.textops import gopher_flags, lang_id, repetition_ratio
+
+__all__ = ["curate"]
+
+
+def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           *, max_repetition: float = 0.3, localize_to: str | None = None,
+           lon_col: str | None = None, lat_col: str | None = None,
+           with_metrics: bool = True):
+    """Curate a document corpus.  Returns ``(out_df, observation)`` —
+    ``observation.get`` yields rows_in/rows_kept/etc. after the first
+    action on ``out_df`` (None observation when ``with_metrics=False``).
+
+    Stages:
+    1. exact dedup: md5(normalized text) — minimum id survives;
+    2. quality gate: Gopher pass flag AND word-bigram repetition ≤
+       ``max_repetition``;
+    3. ``lang`` column from the heuristic language profiler;
+    4. optional caption localization (needs lon/lat columns and a
+       ``localize_to`` target language) — the kept text becomes the
+       ``tags`` map's ``name`` entry, matching the flagship pipeline.
+    """
+    c = F.col(text_col)
+    keyed = df.withColumn("_dup_key", F.md5(normalize_text(c)))
+    keep = keyed.groupBy("_dup_key").agg(F.min(id_col).alias(id_col))
+    deduped = keyed.join(keep, ["_dup_key", id_col], "left_semi") \
+        .drop("_dup_key")
+
+    g = gopher_flags(c)
+    rep = repetition_ratio(c, 2)
+    out = (deduped
+           .withColumn("quality", g)
+           .withColumn("repetition", rep)
+           .withColumn("lang", lang_id(c))
+           .withColumn("kept", F.col("quality.gopher_pass")
+                       & (F.col("repetition") <= F.lit(max_repetition))))
+    kept = out.filter(F.col("kept")).drop("kept")
+
+    if localize_to is not None:
+        from .localize import localize
+        if lon_col is None or lat_col is None:
+            raise ValueError("localize_to requires lon_col and lat_col")
+        staged = kept.withColumn(
+            "tags", F.create_map(F.lit("name"), c))
+        kept = localize(staged, localize_to, tags_col="tags",
+                        id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+                        add_cells=True)
+
+    if not with_metrics:
+        return kept, None
+    obs = Observation("curate")
+    observed = kept.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.avg(F.col("quality.words")).alias("avg_words"),
+        F.avg("repetition").alias("avg_repetition"),
+        F.approx_count_distinct("lang").alias("n_langs"))
+    return observed, obs

@@ -399,3 +399,32 @@ def test_cell_embedding_profile(spark):
     again = {r.cell: r for r in cell_embedding_profile(df).collect()}
     assert all(again[k].top_eig_share == out[k].top_eig_share
                and again[k].mean_norm == out[k].mean_norm for k in out)
+
+
+def test_curate_pipeline(spark):
+    """The composed curation flow: dedup drops exact copies, the
+    quality gate drops repetition/symbol spam, metrics observe the
+    kept set, and localization composes on top."""
+    from osml10n_spark.engine.curate import curate
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog by the river"),
+        (2, "The quick brown fox jumps over the lazy dog by the river"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, "# # alpha # # beta # #"),
+        (5, "Eine ganz normale Straße und ein Platz in der Stadt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, obs = curate(df)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 5}                 # 2=dup, 3=repetition, 4=symbols
+    assert got[5].lang == "de"
+    m = obs.get
+    assert m["rows_kept"] == 2 and m["n_langs"] == 2
+
+    # localization composes: latin captions pass through unchanged
+    geo = df.withColumn("lon", F.lit(10.0)).withColumn("lat", F.lit(50.0))
+    loc, _ = curate(geo, localize_to="de", lon_col="lon", lat_col="lat",
+                    with_metrics=False)
+    lrows = {r.doc_id: r for r in loc.collect()}
+    assert lrows[1].caption_l10n == rows[0][1]
+    assert "cell_id" in loc.columns
