@@ -183,7 +183,7 @@ def main() -> None:
     # then computed within a repeat (matched conditions) as well as
     # from the best per level
     t_scale = time.time()
-    for _rep in range(6):
+    for _rep in range(7):
         # budget guard: stop adding repeats once ~8 min of scaling
         # evidence is collected (every level keeps ≥1 matched sample)
         if _rep and time.time() - t_scale > 480 \
@@ -191,10 +191,11 @@ def main() -> None:
             break
         # the north-rule pair is the two LOWEST levels (the top level is
         # host-bandwidth-bound — BENCH.md documents the DRAM ceiling with
-        # engine-free controls): only repeat 0 samples the top level; all
-        # remaining budget buys matched (N, 4N) pairs so the headline
-        # median survives the host's minutes-long throttle windows
-        rep_levels = core_levels if _rep < 1 else core_levels[:2]
+        # engine-free controls): the first 3 repeats sample every level
+        # (min-of-3 for all published per-level figures, per CLAUDE.md);
+        # later repeats run only the headline pair so its median gets
+        # extra samples against the host's minutes-long throttle windows
+        rep_levels = core_levels if _rep < 3 else core_levels[:2]
         for cores in rep_levels:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker-cores", str(cores),

@@ -134,13 +134,11 @@ def q_lang_profile(spark, sf_dir):
             .groupBy("lid").agg(F.count("*").alias("n")))
 
 
-Q_LANG_PROFILE_SQL = f"""
-WITH h AS (SELECT text,
-  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|straße|platz)\\b')) AS de_h,
-  len(regexp_extract_all(lower(text), '\\b(le|la|les|rue|avenue|de la)\\b')) AS fr_h,
-  len(regexp_extract_all(lower(text), '\\b(the|street|road|of|and)\\b')) AS en_h
-  FROM documents)
-SELECT CASE
+_LANG_HITS_SQL = r"""len(regexp_extract_all(lower(text), '\b(der|die|das|und|straße|platz)\b')) AS de_h,
+  len(regexp_extract_all(lower(text), '\b(le|la|les|rue|avenue|de la)\b')) AS fr_h,
+  len(regexp_extract_all(lower(text), '\b(the|street|road|of|and)\b')) AS en_h"""
+
+_LANG_CASE_SQL = f"""CASE
   WHEN regexp_matches(text, '{RE_CJK_DUCK}') THEN 'cjk'
   WHEN regexp_matches(text, '{RE_THAI_DUCK}') THEN 'th'
   WHEN regexp_matches(text, '{RE_CYR_DUCK}') THEN 'cyrillic'
@@ -148,7 +146,11 @@ SELECT CASE
   WHEN de_h > fr_h AND de_h > en_h THEN 'de'
   WHEN fr_h > en_h THEN 'fr'
   WHEN en_h > 0 THEN 'en'
-  ELSE 'latin' END AS lid, COUNT(*) AS n
+  ELSE 'latin' END"""
+
+Q_LANG_PROFILE_SQL = f"""
+WITH h AS (SELECT text, {_LANG_HITS_SQL} FROM documents)
+SELECT {_LANG_CASE_SQL} AS lid, COUNT(*) AS n
 FROM h GROUP BY 1
 """
 
@@ -206,22 +208,30 @@ def q_gopher_quality(spark, sf_dir):
                     g.getField("gopher_pass").alias("gopher_pass"))
 
 
-Q_GOPHER_QUALITY_SQL = rf"""
-WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM documents),
+def _gopher_sql(src: str) -> str:
+    """CTE chain ``w``/``w2``/``m`` computing the Gopher quality signals
+    from ``src`` (must expose doc_id, text, t) — ONE source of truth
+    shared by Q_GOPHER_QUALITY_SQL and Q_CURATE_SQL.  Line metrics run
+    on \\r/LS/PS/NEL-stripped text, matching the engine (Java (?m)
+    anchors at those terminators, RE2 only at \\n)."""
+    return rf"""
 w AS (SELECT doc_id, text, t,
   CAST(CASE WHEN length(t) = 0 THEN 0
        ELSE len(string_split(t, ' ')) END AS BIGINT) AS words,
   CAST(length(replace(t, ' ', '')) AS DOUBLE) AS word_chars,
   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS symbols,
-  CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
-  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+  regexp_replace(text, '[\r\x{{2028}}\x{{2029}}\x{{0085}}]', '', 'g') AS tl
+  FROM {src}),
+w2 AS (SELECT *,
+  CAST(len(string_split(tl, chr(10))) AS DOUBLE) AS n_lines,
+  CAST(len(regexp_extract_all(tl, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
     AS bullet_lines,
-  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS DOUBLE)
+  CAST(len(regexp_extract_all(tl, '(?m)(\.\.\.|…)[ \t]*$')) AS DOUBLE)
     AS ellipsis_lines,
   CAST(len(regexp_extract_all(' ' || t, ' [^ ]*\p{{L}}')) AS DOUBLE)
     AS alpha_words
-  FROM n),
-m AS (SELECT doc_id, words,
+  FROM w),
+m AS (SELECT doc_id, text, t, words,
   CASE WHEN words > 0 THEN floor(word_chars / words * 1000000.0) / 1000000.0
        ELSE 0.0 END AS mean_word_len,
   CASE WHEN words > 0 THEN floor(symbols / words * 1000000.0) / 1000000.0
@@ -231,12 +241,20 @@ m AS (SELECT doc_id, words,
   CASE WHEN words > 0 THEN
     floor(alpha_words / words * 1000000.0) / 1000000.0
     ELSE 0.0 END AS alpha_word_frac
-  FROM w)
+  FROM w2)"""
+
+
+_GOPHER_PASS_SQL = (
+    "(words >= 3 AND mean_word_len >= 1.0 AND mean_word_len <= 12.0 "
+    "AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 "
+    "AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.6)")
+
+Q_GOPHER_QUALITY_SQL = rf"""
+WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM documents),
+{_gopher_sql('n')}
 SELECT doc_id, words, mean_word_len, symbol_ratio, bullet_frac,
   ellipsis_frac, alpha_word_frac,
-  (words >= 3 AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
-   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.6) AS gopher_pass
+  {_GOPHER_PASS_SQL} AS gopher_pass
 FROM m
 """
 
@@ -343,51 +361,16 @@ n0 AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM corpus),
 k AS (SELECT md5(t) AS dk, MIN(doc_id) AS keep_id FROM n0 GROUP BY 1),
 d AS (SELECT n0.doc_id, n0.text, n0.t FROM n0
       JOIN k ON md5(n0.t) = k.dk AND n0.doc_id = k.keep_id),
-w AS (SELECT doc_id, text, t,
-  CAST(CASE WHEN length(t) = 0 THEN 0
-       ELSE len(string_split(t, ' ')) END AS BIGINT) AS words,
-  CAST(length(replace(t, ' ', '')) AS DOUBLE) AS word_chars,
-  CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS symbols,
-  CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
-  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
-    AS bullet_lines,
-  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS DOUBLE)
-    AS ellipsis_lines,
-  CAST(len(regexp_extract_all(' ' || t, ' [^ ]*\p{{L}}')) AS DOUBLE)
-    AS alpha_words
-  FROM d),
-m AS (SELECT doc_id, text, t, words,
-  CASE WHEN words > 0 THEN floor(word_chars / words * 1000000.0) / 1000000.0
-       ELSE 0.0 END AS mean_word_len,
-  CASE WHEN words > 0 THEN floor(symbols / words * 1000000.0) / 1000000.0
-       ELSE 0.0 END AS symbol_ratio,
-  floor(bullet_lines / n_lines * 1000000.0) / 1000000.0 AS bullet_frac,
-  floor(ellipsis_lines / n_lines * 1000000.0) / 1000000.0 AS ellipsis_frac,
-  CASE WHEN words > 0 THEN
-    floor(alpha_words / words * 1000000.0) / 1000000.0
-    ELSE 0.0 END AS alpha_word_frac
-  FROM w),
+{_gopher_sql('d')},
 q AS (SELECT doc_id, text, t, words,
-  (words >= 3 AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
-   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.6) AS gopher_pass,
+  {_GOPHER_PASS_SQL} AS gopher_pass,
   {_rep_sql('t', 2)} AS rep2
   FROM m),
 h AS (SELECT doc_id, words, gopher_pass, rep2, text,
-  len(regexp_extract_all(lower(text), '\b(der|die|das|und|straße|platz)\b')) AS de_h,
-  len(regexp_extract_all(lower(text), '\b(le|la|les|rue|avenue|de la)\b')) AS fr_h,
-  len(regexp_extract_all(lower(text), '\b(the|street|road|of|and)\b')) AS en_h
+  {_LANG_HITS_SQL}
   FROM q)
 SELECT doc_id, words, rep2 AS repetition,
-  CASE
-    WHEN regexp_matches(text, '{RE_CJK_DUCK}') THEN 'cjk'
-    WHEN regexp_matches(text, '{RE_THAI_DUCK}') THEN 'th'
-    WHEN regexp_matches(text, '{RE_CYR_DUCK}') THEN 'cyrillic'
-    WHEN regexp_matches(text, '{RE_NON_LATIN_DUCK}') THEN 'other'
-    WHEN de_h > fr_h AND de_h > en_h THEN 'de'
-    WHEN fr_h > en_h THEN 'fr'
-    WHEN en_h > 0 THEN 'en'
-    ELSE 'latin' END AS lang
+  {_LANG_CASE_SQL} AS lang
 FROM h
 WHERE gopher_pass AND rep2 <= 0.3
 """
@@ -1432,6 +1415,19 @@ FROM b
 """
 
 
+def _staged_documents(spark, sf_dir):
+    """The documents table staged into the input-hint shape — shared by
+    q_localize_documents (oracled) and flagship() (driver smoke), so
+    both always measure the SAME pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.substring(F.col("text"), 1, 48).alias("caption"),
+        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
+        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
+        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+
+
 def q_localize_documents(spark, sf_dir):
     """Full localization cascade over the documents corpus — now with a
     value-carrying oracle: latin rows assert the exact localized
@@ -1440,13 +1436,7 @@ def q_localize_documents(spark, sf_dir):
     format_combined_name never drops to ''), and cell/tile ids are
     exact morton math on both sides."""
     from .engine.localize import localize
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
-        F.substring(F.col("text"), 1, 48).alias("caption"),
-        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
-        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
-        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+    staged = _staged_documents(spark, sf_dir)
     is_lat = ~F.col("caption").rlike(RE_NON_LATIN_SPARK)
     return localize(staged, "de").select(
         "image_id",
@@ -1818,14 +1808,9 @@ ORACLES = {
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
     """entry() target: documents-derived image+caption table through the
     full localization + cell/tile pipeline — stable 4-column schema
-    (image_id, caption_l10n, cell_id, tile_id) for the driver smoke."""
+    (image_id, caption_l10n, cell_id, tile_id) for the driver smoke;
+    staging shared with the oracled q_localize_documents."""
     from .engine.localize import localize
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("image_id"),
-        F.substring(F.col("text"), 1, 48).alias("caption"),
-        F.create_map(F.lit("name"), F.substring(F.col("text"), 1, 48)).alias("tags"),
-        (((F.col("doc_id") * 37) % 360) - 180 + 0.5).alias("lon"),
-        (((F.col("doc_id") * 7) % 160) - 80 + 0.5).alias("lat"))
+    staged = _staged_documents(spark, sf_dir)
     return localize(staged, "de").select("image_id", "caption_l10n",
                                          "cell_id", "tile_id")

@@ -30,8 +30,9 @@ def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            lon_col: str | None = None, lat_col: str | None = None,
            with_metrics: bool = True):
     """Curate a document corpus.  Returns ``(out_df, observation)`` —
-    ``observation.get`` yields rows_in/rows_kept/etc. after the first
-    action on ``out_df`` (None observation when ``with_metrics=False``).
+    ``observation.get`` yields rows_kept / avg_words / avg_repetition /
+    n_langs after the first action on ``out_df`` (None observation when
+    ``with_metrics=False``).
 
     Stages:
     1. exact dedup: md5(normalized text) — minimum id survives;

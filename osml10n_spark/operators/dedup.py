@@ -230,7 +230,12 @@ def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
 
     # short vectors: shrink the band plan instead of hashing nulls
     # (dim < w → one band over whatever components exist = still sound)
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None:            # empty input → empty pairs, lazily
+        return v.limit(0).select(F.col("doc_id").alias("a_id"),
+                                 F.col("doc_id").alias("b_id"),
+                                 F.lit(0.0).alias("cosine"))
+    dim = len(probe[0])
     if dim < band_width * n_bands:
         n_bands = max(dim // band_width, 1)
         band_width = min(band_width, dim)

@@ -112,10 +112,11 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
              vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: coarse quantization + cluster-probed search.
 
-    Centroids are data-derived deterministically (every
-    ``ceil(N/n_centroids)``-th item by ascending id — reproducible under
-    any partitioning; a k-means refinement would slot in here without
-    changing the plan shape).  Items shuffle ONCE on their nearest
+    Centroids are data-derived deterministically: the ``n_centroids``
+    items with the smallest xxhash64(id) — a uniform pseudo-random
+    sample reproducible under any partitioning; a k-means refinement
+    would slot in here without changing the plan shape.  Items shuffle
+    ONCE on their nearest
     centroid (the inverted lists); queries probe their ``nprobe``
     nearest centroids and equi-join the lists, then exact cosine +
     window top-k refine.  At 100 TB the item→centroid assignment is a

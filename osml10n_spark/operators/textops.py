@@ -99,12 +99,16 @@ def gopher_flags(col):
     symbol_ratio = F.when(words > 0, _trunc6(symbols / words)) \
         .otherwise(F.lit(0.0))
     # line-level fractions via (?m) multiline regex counts — no HOF
-    # lambdas anywhere (Catalyst's interpreted-lambda path costs ~ms/row)
-    n_lines = F.size(F.split(c, "\n")).cast("double")
+    # lambdas anywhere (Catalyst's interpreted-lambda path costs ~ms/row).
+    # \\r, U+2028, U+2029 and U+0085 are stripped first: Java's (?m)
+    # anchors at all of them while RE2 (the DuckDB oracle) anchors only
+    # at \\n, so CRLF corpora would otherwise diverge engine-vs-oracle
+    cl = F.regexp_replace(c, "[\\r\\u2028\\u2029\\u0085]", "")
+    n_lines = F.size(F.split(cl, "\n")).cast("double")
     bullet_lines = F.regexp_count(
-        c, F.lit("(?m)^[ \\t]*[-*•]")).cast("double")
+        cl, F.lit("(?m)^[ \\t]*[-*•]")).cast("double")
     ellipsis_lines = F.regexp_count(
-        c, F.lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast("double")
+        cl, F.lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast("double")
     bullet_frac = _trunc6(bullet_lines / n_lines)
     ellipsis_frac = _trunc6(ellipsis_lines / n_lines)
     # one count per whitespace-word containing ≥1 letter: each match

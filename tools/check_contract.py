@@ -43,6 +43,10 @@ qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
 only = set(sys.argv[2:])
 if only:
+    unknown = only - set(qs)
+    if unknown:
+        print(f"RESULT: FAILURES: unknown query names {sorted(unknown)}")
+        sys.exit(2)
     qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name in sorted(qs):
