@@ -24,4 +24,7 @@ def __getattr__(name):
     if name == "register_all":
         from .udfs import register_all
         return register_all
+    if name == "curate":
+        from .engine.curate import curate
+        return curate
     raise AttributeError(name)
