@@ -1603,6 +1603,36 @@ def q_ann_ivf(spark, sf_dir):
     return _ann_recall(ann, exact, 3)
 
 
+def q_image_resize(spark, sf_dir):
+    """F23 multimodal resize: decode → pure-numpy bilinear → re-encode
+    in the same format via mapInPandas; real-world codecs keep the
+    declared stub path (ok=false).  Pixel math isn't SQL → rows-only;
+    exactness is pytest-gated (constant/gradient PSNR invariants)."""
+    from .operators.multimodal import resize_images
+    from .sources.datagen import generate_images
+    imgs = generate_images(spark, 300, seed=7)
+    return resize_images(imgs, 32, 24).select("image_id", "fmt", "w", "h",
+                                              "ok")
+
+
+def q_frame_sample(spark, sf_dir):
+    """F23 multimodal frame sampling: rawv container demux + every-k-th
+    frame re-encoded standalone with its phash (deterministic synthetic
+    videos; a real demuxer swaps into _split_frames without touching
+    the plan)."""
+    import numpy as np
+
+    from .operators.multimodal import encode_rawv, sample_frames
+    rng = np.random.default_rng(13)
+    vids = [(f"vid_{i}", encode_rawv(
+        rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)), "rawv")
+        for i in range(20)]
+    df = spark.createDataFrame(
+        vids, "video_id string, bytes binary, fmt string")
+    return sample_frames(df, every_k=2) \
+        .select("video_id", "frame_idx", "w", "h", "phash")
+
+
 def q_write_tiled(spark, sf_dir):
     """S5 write path verified through the gate: sinks.write_tiled's
     directory-partitioned, z-order-clustered parquet layout is written
@@ -1735,6 +1765,8 @@ QUERIES = {
     "q_payload_audit": q_payload_audit,
     "q_write_tiled": q_write_tiled,
     "q_cell_embedding_profile": q_cell_embedding_profile,
+    "q_image_resize": q_image_resize,
+    "q_frame_sample": q_frame_sample,
     "q_asof_join": q_asof_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..imaging import decode_image, phash64, psnr
 
-__all__ = ["image_features", "verify_payload", "FEATURES_DDL"]
+__all__ = ["image_features", "verify_payload", "resize_images",
+           "sample_frames", "FEATURES_DDL", "RESIZE_DDL", "FRAMES_DDL"]
 
 FEATURES_DDL = ("image_id string, fmt string, mean_r double, mean_g double, "
                 "mean_b double, brightness double, phash_check long, "
@@ -70,3 +71,108 @@ def verify_payload(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     ok = (F.col("decoded") & ((F.col("fmt") == "jpegq")
                               | (F.col("phash_check") == F.col("phash"))))
     return joined.select(id_col, "fmt", ok.alias("ok"))
+
+
+RESIZE_DDL = ("image_id string, fmt string, bytes binary, w int, h int, "
+              "phash long, ok boolean")
+
+
+def _bilinear_resize(pix: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resample (align-corners=False convention,
+    edge-clamped) — vectorized over the full image, no Python pixel
+    loops."""
+    h, w = pix.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = pix.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "image_id") -> DataFrame:
+    """Decode → bilinear resize → re-encode IN THE SAME FORMAT via
+    mapInPandas (Arrow batches); output carries the recomputed phash so
+    downstream dedup keys stay consistent.  Real-world codecs keep the
+    declared stub behavior: the row survives with ok=false and null
+    payload (same plumbing, swap the decoder to activate)."""
+    from ..imaging import encode_image
+
+    cols = [id_col, "bytes", "fmt"]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                try:
+                    pix = _decode(bytes(data), fmt)
+                    res = _bilinear_resize(pix, out_h, out_w)
+                    out.append((rid, fmt, encode_image(res, fmt),
+                                out_w, out_h, phash64(res), True))
+                except NotImplementedError:
+                    out.append((rid, fmt, None, None, None, None, False))
+            yield pd.DataFrame(out, columns=["image_id", "fmt", "bytes",
+                                             "w", "h", "phash", "ok"])
+
+    return df.select(*cols).mapInPandas(work, schema=RESIZE_DDL)
+
+
+# ------------------------------------------------------------------
+# "video" payloads: deterministic rawv container — 12-byte header
+# (uint32 LE: n_frames, h, w) + n_frames contiguous RGB24 frames.  A
+# real container (mp4 etc.) slots into _split_frames without touching
+# the Spark plumbing.
+
+FRAMES_DDL = ("video_id string, frame_idx int, w int, h int, "
+              "frame_bytes binary, phash long")
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → rawv payload."""
+    n, h, w = frames.shape[:3]
+    head = np.array([n, h, w], dtype="<u4").tobytes()
+    return head + np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+
+
+def _split_frames(data: bytes, fmt: str) -> np.ndarray:
+    if fmt != "rawv":
+        raise NotImplementedError(f"no demuxer for '{fmt}' in this sandbox")
+    n, h, w = np.frombuffer(data[:12], dtype="<u4")
+    return np.frombuffer(data[12:], dtype=np.uint8).reshape(
+        int(n), int(h), int(w), 3)
+
+
+def sample_frames(df: DataFrame, every_k: int = 2,
+                  id_col: str = "video_id") -> DataFrame:
+    """Demux + every-k-th frame sampling via mapInPandas — the row
+    explode happens Python-side (one input row → ceil(n/k) output
+    rows), each sampled frame re-encoded as a standalone raw image with
+    its phash for downstream near-dup removal across frames."""
+    from ..imaging import encode_image
+
+    cols = [id_col, "bytes", "fmt"]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                try:
+                    frames = _split_frames(bytes(data), fmt)
+                except NotImplementedError:
+                    continue                 # undecodable container: drop
+                for idx in range(0, frames.shape[0], every_k):
+                    f = frames[idx]
+                    out.append((rid, idx, f.shape[1], f.shape[0],
+                                encode_image(f, "raw"), phash64(f)))
+            yield pd.DataFrame(out, columns=["video_id", "frame_idx", "w",
+                                             "h", "frame_bytes", "phash"])
+
+    return df.select(*cols).mapInPandas(work, schema=FRAMES_DDL)

@@ -428,3 +428,46 @@ def test_curate_pipeline(spark):
     lrows = {r.doc_id: r for r in loc.collect()}
     assert lrows[1].caption_l10n == rows[0][1]
     assert "cell_id" in loc.columns
+
+
+def test_multimodal_resize(spark):
+    """Bilinear resize: same-format re-encode round-trips, constant
+    images stay exact, downscaled gradients stay close (PSNR)."""
+    from osml10n_spark.imaging import decode_image, encode_image, psnr
+    from osml10n_spark.operators.multimodal import (_bilinear_resize,
+                                                    resize_images)
+    # kernel invariants first (no Spark)
+    const = np.full((20, 30, 3), 77, dtype=np.uint8)
+    assert (_bilinear_resize(const, 7, 9) == 77).all()
+    grad = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (32, 1, 3))
+    up = _bilinear_resize(grad, 64, 128)
+    down = _bilinear_resize(up, 32, 64)
+    assert psnr(grad, down) > 35.0
+    # Spark plumbing: engine fmts resize+re-encode, dims update
+    rows = [("a", encode_image(grad, "bmp"), "bmp"),
+            ("b", encode_image(grad, "raw"), "raw"),
+            ("c", b"\xff\xd8junk", "jpeg")]          # stubbed real-world
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r.image_id: r for r in resize_images(df, 16, 12).collect()}
+    assert out["a"].ok and out["a"].w == 16 and out["a"].h == 12
+    assert decode_image(bytes(out["b"].bytes), "raw").shape == (12, 16, 3)
+    assert out["c"].ok is False and out["c"].bytes is None
+
+
+def test_multimodal_frame_sampling(spark):
+    """rawv demux + every-k sampling: right frames, standalone
+    re-encoded payloads, phash stability."""
+    from osml10n_spark.imaging import decode_image, phash64
+    from osml10n_spark.operators.multimodal import encode_rawv, sample_frames
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (7, 10, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v1", encode_rawv(frames), "rawv"), ("v2", b"????", "mp4")],
+        "video_id string, bytes binary, fmt string")
+    got = {(r.video_id, r.frame_idx): r
+           for r in sample_frames(df, every_k=3).collect()}
+    assert set(got) == {("v1", 0), ("v1", 3), ("v1", 6)}   # mp4 stub dropped
+    for (vid, idx), r in got.items():
+        pix = decode_image(bytes(r.frame_bytes), "raw")
+        assert (pix == frames[idx]).all()
+        assert r.phash == phash64(frames[idx])
