@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..engine.localize import localize
 from ..engine.snapshots import SnapshotStore
 
-__all__ = ["localize_stream", "windowed_cell_counts"]
+__all__ = ["localize_stream", "curate_stream", "windowed_cell_counts"]
 
 
 def localize_stream(stream_df: DataFrame, store_root: str,
@@ -46,6 +46,35 @@ def localize_stream(stream_df: DataFrame, store_root: str,
         keys = [r.cell_prefix for r in
                 staged.select("cell_prefix").distinct().collect()]
         store.commit(out, keys, metrics={"epoch": int(epoch_id)})
+        committed.add(int(epoch_id))
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def curate_stream(stream_df: DataFrame, store_root: str,
+                  checkpoint_dir: str | None = None, **curate_kwargs):
+    """Incremental corpus curation: the composed curate() pipeline
+    (dedup → quality gate → lang → optional localize) per micro-batch,
+    exactly-once via epoch-keyed snapshot commits — the streaming twin
+    of the batch pipeline, dedup scoped per batch (cross-batch
+    first-occurrence dedup lives in streaming.stateful)."""
+    from ..engine.curate import curate
+
+    store = SnapshotStore(store_root)
+    committed = store.committed_epochs()
+
+    def process(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        if int(epoch_id) in committed:
+            return
+        out, _ = curate(batch_df, with_metrics=False, **curate_kwargs)
+        # partition bookkeeping is epoch-keyed for text streams (no
+        # spatial prefix unless the caller localizes)
+        store.commit(out, [int(epoch_id)], metrics={"epoch": int(epoch_id)})
         committed.add(int(epoch_id))
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("append")

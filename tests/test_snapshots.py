@@ -182,3 +182,31 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert store.committed_output(spark, as_of=0).count() == 20   # by seq
     with pytest.raises(KeyError):
         store.committed_output(spark, as_of="nope")
+
+
+def test_streaming_curate(spark, tmp_path):
+    """curate_stream: per-micro-batch dedup + quality gate with
+    epoch-keyed exactly-once snapshot commits."""
+    from osml10n_spark.streaming.incremental import curate_stream
+
+    src_dir = str(tmp_path / "cin")
+    rows = [(i, "A perfectly ordinary sentence about streets number "
+             + str(i)) for i in range(40)] \
+        + [(100 + i, "spam spam spam spam spam spam spam spam")
+           for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(3)
+    docs.write.parquet(src_dir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    root = str(tmp_path / "csnap")
+    q = curate_stream(stream, root,
+                      checkpoint_dir=str(tmp_path / "cckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = SnapshotStore(root).committed_output(spark)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert all(i < 100 for i in ids)        # every spam row gated out
+    assert len(ids) == 40                   # all clean rows kept, no dups
