@@ -19,6 +19,11 @@ Examples
   spark-submit --py-files osml10n_spark.zip run_job.py \
       --input /data/images.parquet --store /data/l10n_store --lang en
 
+  # corpus curation (dedup → quality gate → lang; + localization when
+  # the input carries lon/lat) over a documents table
+  spark-submit --py-files osml10n_spark.zip run_job.py \
+      --mode curate --input /data/docs.parquet --output /data/kept
+
 Build the zip with:  python run_job.py --make-zip osml10n_spark.zip
 """
 from __future__ import annotations
@@ -57,6 +62,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="snapshot store root (resumable)")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--output", help="plain parquet output (no snapshots)")
+    ap.add_argument("--mode", choices=["localize", "curate"],
+                    default="localize",
+                    help="localize = flagship pipeline; curate = dedup → "
+                         "quality gate → lang (+ localization when the "
+                         "input has lon/lat)")
+    ap.add_argument("--id-col", default="doc_id",
+                    help="curate mode: document id column")
+    ap.add_argument("--text-col", default="text",
+                    help="curate mode: text column")
     ap.add_argument("--make-zip", metavar="DEST",
                     help="write the --py-files package zip and exit")
     args = ap.parse_args(argv)
@@ -84,6 +98,25 @@ def main(argv: list[str] | None = None) -> None:
         images = spark.read.parquet(args.input)
     else:
         ap.error("need --input or --generate")
+
+    if args.mode == "curate":
+        from osml10n_spark.engine.curate import curate
+        has_geo = "lon" in images.columns and "lat" in images.columns
+        kw = dict(id_col=args.id_col, text_col=args.text_col)
+        if has_geo:
+            kw.update(localize_to=args.lang, lon_col="lon", lat_col="lat")
+        out, obs = curate(images, **kw)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "metrics": {k: (float(v) if v is not None
+                                              else None)
+                                          for k, v in obs.get.items()}}))
+        else:
+            n = out.count()
+            print(json.dumps({"rows_kept": n}))
+        spark.stop()
+        return
 
     if args.store:
         summary = run_localization_job(spark, images, args.store,
