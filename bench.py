@@ -93,6 +93,113 @@ def worker_main(cores: int, staged: str, slice_part: int = 0) -> None:
     spark.stop()
 
 
+def _run_scaling_worker(cores: int, staged_scale: str, rep: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, __file__, "--worker-cores", str(cores),
+         "--staged", staged_scale, "--slice", str(rep)],
+        capture_output=True, text=True, timeout=1800)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling worker cores={cores} failed "
+            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
+    """Scaling evidence: cold JVM per parallelism level (N, 4N, 16N
+    within CPUS); see BENCH.md for the host-bandwidth ceiling that
+    bounds what ANY memory-intensive workload can show beyond ~8
+    concurrent cores on this sandbox VM.
+
+    Levels are interleaved across repeats (fresh JVM each) so every
+    repeat samples one host-burstiness window for ALL levels —
+    efficiency is computed within a repeat (matched conditions).
+    A throttle-window detector re-runs any headline-pair repeat whose
+    absolute throughput at EITHER level fell >2x below that level's
+    session median (the host throttles in minutes-long windows; a
+    throttled low level biases the ratio UP, a throttled high level
+    biases it DOWN — both are measurement artifacts, not engine
+    behavior).  All raw pre-retry runs are published alongside."""
+    import statistics
+
+    core_levels = sorted({max(CPUS // 16, 2), max(CPUS // 4, 2), CPUS})
+    scaling: dict[int, dict] = {}
+    samples: dict[int, list[float]] = {c: [] for c in core_levels}
+    t_scale = time.time()
+    for _rep in range(7):
+        # budget guard: stop adding repeats once ~8 min of scaling
+        # evidence is collected (every level keeps >=1 matched sample)
+        if _rep and time.time() - t_scale > 480 \
+                and all(samples[c] for c in core_levels):
+            break
+        # the north-rule pair is the two LOWEST levels (the top level is
+        # host-bandwidth-bound — BENCH.md documents the DRAM ceiling with
+        # engine-free controls): the first 3 repeats sample every level
+        # (min-of-3 for all published per-level figures, per CLAUDE.md);
+        # later repeats run only the headline pair so its median gets
+        # extra samples against the host's minutes-long throttle windows
+        rep_levels = core_levels if _rep < 3 else core_levels[:2]
+        for cores in rep_levels:
+            res = _run_scaling_worker(cores, staged_scale, _rep)
+            samples[cores].append(res["rps"])
+            if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
+                scaling[cores] = res
+
+    # throttle-window detector + retry (headline pair only, <=2 retries,
+    # time-bounded).  The retry replaces BOTH levels of the flagged
+    # repeat so the sample stays a matched window.
+    lo_c, hi_c = core_levels[0], core_levels[1]
+    raw_runs = {c: [round(x, 1) for x in samples[c]] for c in (lo_c, hi_c)}
+    retried: list[int] = []
+    for r in range(len(samples[hi_c])):
+        if len(retried) >= 2 or time.time() - t_scale > 720:
+            break
+        med_lo = statistics.median(samples[lo_c])
+        med_hi = statistics.median(samples[hi_c])
+        if samples[lo_c][r] < 0.5 * med_lo or samples[hi_c][r] < 0.5 * med_hi:
+            a = _run_scaling_worker(lo_c, staged_scale, 100 + r)
+            b = _run_scaling_worker(hi_c, staged_scale, 100 + r)
+            samples[lo_c][r] = a["rps"]
+            samples[hi_c][r] = b["rps"]
+            for cores, res in ((lo_c, a), (hi_c, b)):
+                if res["rps"] > scaling[cores]["rps"]:
+                    scaling[cores] = res
+            retried.append(r)
+
+    levels = sorted(scaling)
+    pairs: dict[str, object] = {}
+    for a, b in zip(levels, levels[1:]):
+        # matched-window ratios (same repeat = same host-burstiness
+        # window for both levels) are the primary evidence; the
+        # HEADLINE is their MEDIAN — the peak is reported under an
+        # explicit *_peak key (and also folds in the best-per-level
+        # ratio), never silently promoted
+        per_rep = [(samples[b][r] / samples[a][r]) / (b / a)
+                   for r in range(min(len(samples[a]), len(samples[b])))]
+        best_level = (scaling[b]["rps"] / scaling[a]["rps"]) / (b / a)
+        pairs[f"{a}->{b}"] = round(statistics.median(per_rep), 3)
+        pairs[f"{a}->{b}_peak"] = round(max(per_rep + [best_level]), 3)
+        pairs[f"{a}->{b}_runs"] = [round(x, 3) for x in per_rep]
+    detector = {"retried_reps": retried,
+                "runs_raw_rps": raw_runs} if retried else {}
+    return scaling, pairs, detector
+
+
+def _min_of(fn, reps: int = 3) -> float:
+    """Min-of-N wall time for one already-built action thunk.  Every
+    published per-query number goes through this — the host's CPU
+    burstiness makes single samples 5-10x noisy (round-2 driver record
+    had a 10.6s q_exact_dedup sample vs a 1.6s steady state)."""
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None or el < best else best
+    return best
+
+
 def main() -> None:
     from pyspark.sql import functions as F
     from osml10n_spark.engine.session import build_session
@@ -110,10 +217,18 @@ def main() -> None:
     n_scale = n_rows * 48
     staged_scale = f"/tmp/osml10n_bench_scale_sf{sf}"
 
-    spark = build_session(app_name="bench", cores=CPUS)
+    spark = build_session(app_name="bench-stage", cores=CPUS)
     _stage(spark, staged, n_rows)
     _stage(spark, staged_scale, n_scale)
+    spark.stop()
 
+    # scaling FIRST: the host throttles progressively as a session
+    # heats it, and the scaling record is the north-rule gate — give it
+    # the coolest windows.  The staging JVM is stopped above so the
+    # worker JVMs never overlap another session (CLAUDE.md rule).
+    scaling, pairs, detector = _run_scaling(staged_scale)
+
+    spark = build_session(app_name="bench", cores=CPUS)
     timings: dict[str, float] = {}
 
     # flagship: localization + spatial + tiles (the BASELINE metric).
@@ -130,104 +245,42 @@ def main() -> None:
 
     images = spark.read.parquet(staged)
 
-    t0 = time.time()
-    assign_country(images, gate_name_col="caption") \
-        .groupBy("cc").count().collect()
-    timings["q_spatial_join"] = round(time.time() - t0, 3)
+    timings["q_spatial_join"] = round(_min_of(
+        lambda: assign_country(images, gate_name_col="caption")
+        .groupBy("cc").count().collect()), 3)
 
-    t0 = time.time()
-    assign_tiles(images, z=8, maxz=16).groupBy("tile_id").count().count()
-    timings["q_tile_assign"] = round(time.time() - t0, 3)
+    timings["q_tile_assign"] = round(_min_of(
+        lambda: assign_tiles(images, z=8, maxz=16)
+        .groupBy("tile_id").count().count()), 3)
 
-    t0 = time.time()
-    assign_cells(images, res=9).groupBy("cell_id").count() \
-        .orderBy(F.col("count").desc()).limit(20).collect()
-    timings["q_cell_histogram"] = round(time.time() - t0, 3)
+    timings["q_cell_histogram"] = round(_min_of(
+        lambda: assign_cells(images, res=9).groupBy("cell_id").count()
+        .orderBy(F.col("count").desc()).limit(20).collect()), 3)
 
     queries = images.filter(F.col("lat").between(-60, 75)).limit(1000) \
         .select(F.col("image_id").alias("qid"), "lon", "lat")
-    # min-of-3 like the flagship: the host's CPU burstiness makes a
-    # single sample of the heaviest operator 2-3× noisy
-    best_knn = None
-    for _ in range(3):
-        t0 = time.time()
+
+    def _knn_once() -> None:
         r = knn_cells(queries, images.select(F.col("image_id").alias("iid"),
                                              "lon", "lat"),
                       k=5, res=7, qid_col="qid", iid_col="iid")
         r.count()
-        el = time.time() - t0
         r.unpersist()               # knn_cells returns a persisted result
-        best_knn = el if best_knn is None or el < best_knn else best_knn
-    timings["q_knn_cells"] = round(best_knn, 3)
+
+    timings["q_knn_cells"] = round(_min_of(_knn_once), 3)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_signature(docs, "doc_id", "text", n=5, bands=4).count()
-    timings["q_minhash"] = round(time.time() - t0, 3)
+    timings["q_minhash"] = round(_min_of(
+        lambda: minhash_signature(docs, "doc_id", "text",
+                                  n=5, bands=4).count()), 3)
 
-    t0 = time.time()
-    exact_dedup(docs.unionAll(docs.limit(50)), "doc_id", "text").count()
-    timings["q_exact_dedup"] = round(time.time() - t0, 3)
+    timings["q_exact_dedup"] = round(_min_of(
+        lambda: exact_dedup(docs.unionAll(docs.limit(50)),
+                            "doc_id", "text").count()), 3)
 
     spark.stop()
 
-    # scaling evidence: cold JVM per parallelism level (N, 4N, 16N
-    # within CPUS); see BENCH.md for the host-bandwidth ceiling that
-    # bounds what ANY memory-intensive workload can show beyond ~8
-    # concurrent cores on this sandbox VM
-    core_levels = sorted({max(CPUS // 16, 2), max(CPUS // 4, 2), CPUS})
-    scaling = {}
-    samples: dict[int, list[float]] = {c: [] for c in core_levels}
-    # interleave levels across repeats (fresh JVM each) so every repeat
-    # samples one host-burstiness window for ALL levels — efficiency is
-    # then computed within a repeat (matched conditions) as well as
-    # from the best per level
-    t_scale = time.time()
-    for _rep in range(7):
-        # budget guard: stop adding repeats once ~8 min of scaling
-        # evidence is collected (every level keeps ≥1 matched sample)
-        if _rep and time.time() - t_scale > 480 \
-                and all(samples[c] for c in core_levels):
-            break
-        # the north-rule pair is the two LOWEST levels (the top level is
-        # host-bandwidth-bound — BENCH.md documents the DRAM ceiling with
-        # engine-free controls): the first 3 repeats sample every level
-        # (min-of-3 for all published per-level figures, per CLAUDE.md);
-        # later repeats run only the headline pair so its median gets
-        # extra samples against the host's minutes-long throttle windows
-        rep_levels = core_levels if _rep < 3 else core_levels[:2]
-        for cores in rep_levels:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--worker-cores", str(cores),
-                 "--staged", staged_scale, "--slice", str(_rep)],
-                capture_output=True, text=True, timeout=1800)
-            lines = [l for l in proc.stdout.splitlines()
-                     if l.startswith("{")]
-            if proc.returncode != 0 or not lines:
-                raise RuntimeError(
-                    f"scaling worker cores={cores} failed "
-                    f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}")
-            res = json.loads(lines[-1])
-            samples[cores].append(res["rps"])
-            if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
-                scaling[cores] = res
-
-    import statistics
     levels = sorted(scaling)
-    pairs = {}
-    for a, b in zip(levels, levels[1:]):
-        # matched-window ratios (same repeat = same host-burstiness
-        # window for both levels) are the primary evidence; the
-        # HEADLINE is their MEDIAN — the peak is reported under an
-        # explicit *_peak key (and also folds in the best-per-level
-        # ratio), never silently promoted
-        per_rep = [(samples[b][r] / samples[a][r]) / (b / a)
-                   for r in range(min(len(samples[a]), len(samples[b])))]
-        best_level = (scaling[b]["rps"] / scaling[a]["rps"]) / (b / a)
-        pairs[f"{a}->{b}"] = round(statistics.median(per_rep), 3)
-        pairs[f"{a}->{b}_peak"] = round(max(per_rep + [best_level]), 3)
-        pairs[f"{a}->{b}_runs"] = [round(x, 3) for x in per_rep]
-    lo, hi = scaling[levels[0]], scaling[levels[-1]]
 
     print(json.dumps({
         "metric": "spatial-join + tile-assignment + localization "
@@ -247,6 +300,7 @@ def main() -> None:
             if len(levels) > 1 else None,
             "efficiency_peak": pairs[f"{levels[0]}->{levels[1]}_peak"]
             if len(levels) > 1 else None,
+            **({"throttle_detector": detector} if detector else {}),
         },
     }))
 

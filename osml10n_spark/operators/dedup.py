@@ -197,7 +197,8 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.95, band_width: int = 8,
-                   n_bands: int = 8, brute: bool = False) -> DataFrame:
+                   n_bands: int = 8, brute: bool = False,
+                   dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs.  Returns (a_id, b_id, cosine).
 
     Scale shape (default): sign-band blocking — band j's key is the
@@ -213,7 +214,12 @@ def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
 
     ``brute=True`` keeps the O(n²) baseline — the small-n oracle only.
     Vector folds shared with operators.similarity so FP semantics
-    cannot drift."""
+    cannot drift.
+
+    ``dim`` is the embedding dimensionality.  Pass it explicitly at
+    scale (and always on streaming DataFrames, where eager actions are
+    illegal): when omitted, a bounded null-filtered ``.first()`` probe
+    runs ONE driver job at plan-construction time to discover it."""
     from .similarity import _dot, _norm
     v = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")) \
         .withColumn("nrm", _norm(F.col("vec")))
@@ -228,14 +234,18 @@ def embedding_dups(df: DataFrame, id_col: str, vec_col: str,
                 .select(F.col("a.doc_id").alias("a_id"),
                         F.col("b.doc_id").alias("b_id"), "cosine"))
 
+    if dim is None:
+        # probe fallback only — null-filtered so a leading NULL vector
+        # can't crash the len(), and skipped entirely when the caller
+        # supplies dim (no driver job before the result is used)
+        probe = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if probe is None:        # empty/all-null input → empty pairs, lazily
+            return v.limit(0).select(F.col("doc_id").alias("a_id"),
+                                     F.col("doc_id").alias("b_id"),
+                                     F.lit(0.0).alias("cosine"))
+        dim = len(probe[0])
     # short vectors: shrink the band plan instead of hashing nulls
     # (dim < w → one band over whatever components exist = still sound)
-    probe = df.select(vec_col).first()
-    if probe is None:            # empty input → empty pairs, lazily
-        return v.limit(0).select(F.col("doc_id").alias("a_id"),
-                                 F.col("doc_id").alias("b_id"),
-                                 F.lit(0.0).alias("cosine"))
-    dim = len(probe[0])
     if dim < band_width * n_bands:
         n_bands = max(dim // band_width, 1)
         band_width = min(band_width, dim)

@@ -114,7 +114,10 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
     orchestration (second core pass + histogram) costs ~3× more than
     the 9.2M→1M candidate-row saving returns — it pays only when heavy
     cells hold millions of rows so the window sort, not job overhead,
-    dominates.
+    dominates.  (Round 3 trimmed the split path from 4 driver jobs to
+    2 — mean+heavy fused into one agg, the two isEmpty() probes into
+    one countDistinct pass — which shaves the fixed cost but does not
+    flip the A/B at sandbox scale.)
 
     Equi-join on cell ids shuffles by cell — co-located, broadcast-free.
     Output: (qid, iid, dist2, rank).
@@ -129,10 +132,18 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
 
         hist = assign_cells(i_pts, res).groupBy("cell_id") \
             .agg(F.count("*").alias("n"))
-        mean_n = hist.agg(F.avg("n").alias("m")).collect()[0].m or 1.0
+        # ONE driver job for mean occupancy + heavy candidates: cells
+        # with n > 64k are a superset of "heavy" for any mean (the
+        # final threshold is max(64k, 8·mean) ≥ 64k) and there are at
+        # most total/64k of them, so the collect_list stays bounded
+        agg = hist.agg(
+            F.avg("n").alias("m"),
+            F.collect_list(F.when(F.col("n") > 64 * k,
+                                  F.struct("cell_id", "n"))).alias("big"),
+        ).collect()[0]
+        mean_n = agg.m or 1.0
         thresh = max(64 * k, 8 * mean_n)
-        heavy = [(r.cell_id, r.n) for r in
-                 hist.filter(F.col("n") > thresh).collect()]
+        heavy = [(r.cell_id, r.n) for r in agg.big if r.n > thresh]
         if heavy:
             heavy_ids = [h[0] for h in heavy]
             max_n = max(h[1] for h in heavy)
@@ -145,16 +156,24 @@ def knn_cells(queries: DataFrame, items: DataFrame, k: int,
                 .withColumn("ring", F.lit(1)) \
                 .withColumnRenamed("lon", "q_lon") \
                 .withColumnRenamed("lat", "q_lat")
-            near_heavy = (_ring_cells_df(qa, res, 1)
-                          .filter(F.col("n_cell").isin(heavy_ids))
+            ring1 = _ring_cells_df(qa, res, 1)
+            near_heavy = (ring1.filter(F.col("n_cell").isin(heavy_ids))
                           .select("qid").distinct())
+            # ONE job decides both splits (every query emits its own
+            # ring-1 cells, so n_q counts ALL queries) — replaces the
+            # two isEmpty() driver round-trips
+            counts = ring1.agg(
+                F.countDistinct("qid").alias("n_q"),
+                F.countDistinct(F.when(F.col("n_cell").isin(heavy_ids),
+                                       F.col("qid"))).alias("n_heavy"),
+            ).collect()[0]
             q_heavy = q_pts.join(F.broadcast(near_heavy), "qid")
             q_rest = q_pts.join(F.broadcast(near_heavy), "qid", "left_anti")
             parts = []
-            if not q_rest.isEmpty():
+            if counts.n_heavy < counts.n_q:
                 parts.append(_knn_core(q_rest, i_pts, k, res, max_rounds,
                                        initial_ring))
-            if not q_heavy.isEmpty():
+            if counts.n_heavy > 0:
                 parts.append(_knn_core(q_heavy, i_pts, k, res_fine,
                                        max_rounds, initial_ring))
             if parts:                      # empty queries → default path

@@ -23,14 +23,20 @@ __all__ = ["localize_stream", "curate_stream", "windowed_cell_counts"]
 def localize_stream(stream_df: DataFrame, store_root: str,
                     target_lang: str = "en", checkpoint_dir: str | None = None):
     """Start a foreachBatch streaming query running the localization
-    pipeline per micro-batch with snapshot commits."""
+    pipeline per micro-batch with snapshot commits.
+
+    Concurrency contract: one ACTIVE committer per store root (the
+    normal Structured Streaming deployment — one query per checkpoint).
+    The committed-epoch cache is still re-validated against the
+    manifests on every cache miss, so an epoch landed by a PREVIOUS
+    incarnation (e.g. an old job that drained after this one started)
+    is detected before any double-commit; the rescan costs O(epochs)
+    json reads but only runs for epochs not yet known committed."""
     from ..engine.job import add_cell_prefix
 
     store = SnapshotStore(store_root)
-    # loaded ONCE at stream start and appended to in memory — this
-    # writer is the only committer, so re-scanning every manifest per
-    # micro-batch (O(epochs) json parses) is pure overhead in a
-    # long-running stream
+    # loaded once at stream start, appended in memory, re-validated on
+    # miss (see the concurrency contract above)
     committed = store.committed_epochs()
 
     def process(batch_df: DataFrame, epoch_id: int):
@@ -39,6 +45,11 @@ def localize_stream(stream_df: DataFrame, store_root: str,
         # exactly-once: a crash AFTER commit but BEFORE the streaming
         # checkpoint re-delivers this epoch on restart — the manifest
         # (written last = the commit point) proves it already landed
+        if int(epoch_id) in committed:
+            return
+        # cache miss → rescan manifests once before committing, in case
+        # another (stale) committer landed this epoch after we started
+        committed.update(store.committed_epochs())
         if int(epoch_id) in committed:
             return
         staged = add_cell_prefix(batch_df)
@@ -60,7 +71,9 @@ def curate_stream(stream_df: DataFrame, store_root: str,
     (dedup → quality gate → lang → optional localize) per micro-batch,
     exactly-once via epoch-keyed snapshot commits — the streaming twin
     of the batch pipeline, dedup scoped per batch (cross-batch
-    first-occurrence dedup lives in streaming.stateful)."""
+    first-occurrence dedup lives in streaming.stateful).  Same
+    concurrency contract as localize_stream: one active committer per
+    store root; the epoch cache re-validates on miss."""
     from ..engine.curate import curate
 
     store = SnapshotStore(store_root)
@@ -69,6 +82,9 @@ def curate_stream(stream_df: DataFrame, store_root: str,
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
+        if int(epoch_id) in committed:
+            return
+        committed.update(store.committed_epochs())
         if int(epoch_id) in committed:
             return
         out, _ = curate(batch_df, with_metrics=False, **curate_kwargs)

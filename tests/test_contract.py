@@ -61,6 +61,32 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     assert not mism, (name, [(left[i], right[i]) for i in mism[:3]])
 
 
+# the five rows-only (no-SQL-oracle) queries each emit in-query
+# self-check columns; the pytest gate pins them ALL-TRUE / 1.0 so the
+# invariant is enforced even though the driver only records row counts
+ROWS_ONLY_SELF_CHECKS = {
+    "q_payload_audit": {"bool": ["ok"], "frac": ["ok_frac"]},
+    "q_image_features": {"bool": ["decoded", "stats_ok"],
+                         "frac": ["decoded_frac"]},
+    "q_image_resize": {"bool": ["ok", "dims_ok"], "frac": ["ok_frac"]},
+    "q_frame_sample": {"bool": ["idx_ok", "dims_ok", "count_ok"],
+                       "frac": []},
+    "q_cell_embedding_profile": {"bool": ["profile_ok"], "frac": []},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_SELF_CHECKS))
+def test_rows_only_self_checks(spark, name):
+    spec = ROWS_ONLY_SELF_CHECKS[name]
+    df = entrymod.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    assert rows, name
+    for col in spec["bool"]:
+        assert all(getattr(r, col) for r in rows), (name, col)
+    for col in spec["frac"]:
+        assert all(getattr(r, col) == 1.0 for r in rows), (name, col)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

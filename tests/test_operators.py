@@ -61,6 +61,28 @@ def test_knn_cells_matches_bruteforce(spark):
     assert brute == cells
 
 
+def test_knn_cells_split_heavy_matches_bruteforce(spark):
+    """split_heavy=True (hierarchical skew split) stays exact on a
+    corpus with one deliberately heavy cell, with queries on both
+    sides of the split (near-heavy → fine res, rest → base res);
+    also covers the fused single-job heavy/near-heavy detection."""
+    rng = np.random.default_rng(7)
+    dense = [(f"d{i}", float(10.0 + rng.uniform(-0.05, 0.05)),
+              float(50.0 + rng.uniform(-0.05, 0.05))) for i in range(300)]
+    sparse = [(f"s{i}", float(rng.uniform(-170, 170)),
+               float(rng.uniform(-80, 80))) for i in range(100)]
+    items = spark.createDataFrame(dense + sparse,
+                                  "iid string, lon double, lat double")
+    q = spark.createDataFrame(
+        [("q0", 10.0, 50.0), ("q1", 10.2, 49.9), ("q2", -60.0, -20.0),
+         ("q3", 120.0, 30.0)], "qid string, lon double, lat double")
+    brute = {(r.qid, r.rank): r.iid for r in knn_geo(q, items, 2).collect()}
+    out = knn_cells(q, items, 2, res=6, split_heavy=True)
+    split = {(r.qid, r.rank): r.iid for r in out.collect()}
+    out.unpersist()
+    assert brute == split
+
+
 def test_knn_cells_sparse_fallback(spark):
     # items far away from queries → forces the straggler path
     q = _points_df(spark, 5, 3, "q")
@@ -157,6 +179,31 @@ def test_embedding_dups(spark):
     pairs = {(r.a_id, r.b_id) for r in
              embedding_dups(df, "vec_id", "embedding", 0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_embedding_dups_explicit_dim_and_null_probe(spark):
+    """dim= skips the plan-build probe (same pairs either way); a NULL
+    leading vector must not crash the probe fallback (it is
+    null-filtered), and an all-null table yields empty pairs."""
+    rows = [(0, None), (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probed = {(r.a_id, r.b_id) for r in
+              embedding_dups(df.filter("embedding IS NOT NULL"),
+                             "vec_id", "embedding", 0.99).collect()}
+    explicit = {(r.a_id, r.b_id) for r in
+                embedding_dups(df.filter("embedding IS NOT NULL"),
+                               "vec_id", "embedding", 0.99,
+                               dim=3).collect()}
+    assert probed == explicit == {(1, 2)}
+    # probe path sees the NULL row first: must skip it, not TypeError
+    with_null = {(r.a_id, r.b_id) for r in
+                 embedding_dups(df, "vec_id", "embedding", 0.99)
+                 .filter("a_id > 0 AND b_id > 0").collect()}
+    assert with_null == {(1, 2)}
+    empty = embedding_dups(df.filter("embedding IS NULL"),
+                           "vec_id", "embedding", 0.99)
+    assert empty.count() == 0
 
 
 def test_embedding_dups_blocked_matches_brute(spark):
