@@ -349,6 +349,58 @@ def q_curate(spark, sf_dir):
                       F.col("repetition").alias("repetition"), "lang")
 
 
+def q_curate_stream(spark, sf_dir):
+    """Streaming curation ≡ batch curation, contract-proven: the SAME
+    planted corpus as q_curate flows through curate_stream as TWO
+    micro-batches (file-per-trigger), lands in an epoch-keyed snapshot
+    store with exactly-once commits, and the committed output matches
+    the SAME DuckDB oracle as q_curate — one oracle, batch and
+    streaming plans.  Dedup is per-batch in the streaming twin
+    (cross-batch first-occurrence dedup lives in streaming.stateful),
+    so the epoch split keys every (doc, planted-dup) pair into the same
+    file via base-id parity (+100000 preserves parity)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .engine.snapshots import SnapshotStore
+    from .streaming.incremental import curate_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 100030)) \
+        .unionAll(d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.lit("spam spam spam spam spam spam spam spam").alias("text"))
+        .filter(F.col("doc_id") < 200005)) \
+        .unionAll(d.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.lit("alpha # beta # gamma # # # #").alias("text"))
+        .filter(F.col("doc_id") < 300005))
+    run = os.path.join(tempfile.gettempdir(),
+                       "osml10n_gate_cstream_" + uuid.uuid4().hex[:12])
+    src = os.path.join(run, "src")
+    # two explicit single-file writes → exactly two files → exactly two
+    # epochs at ANY scale (a range/hash repartition can collapse to one
+    # non-empty file on tiny inputs); duplicate pairs co-locate because
+    # +100000 preserves doc_id parity
+    par = F.pmod(F.col("doc_id"), F.lit(2))
+    planted.filter(par == 0).coalesce(1).write.parquet(src)
+    planted.filter(par == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(planted.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sq = curate_stream(stream, os.path.join(run, "store"),
+                       checkpoint_dir=os.path.join(run, "ckpt"))
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    out = SnapshotStore(os.path.join(run, "store")).committed_output(spark)
+    return out.select("doc_id", F.col("quality.words").alias("words"),
+                      F.col("repetition").alias("repetition"), "lang")
+
+
 Q_CURATE_SQL = rf"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -1800,6 +1852,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_clean_text": q_clean_text,
     "q_curate": q_curate,
+    "q_curate_stream": q_curate_stream,
     "q_unaccent": q_unaccent,
     "q_abbrev_ru": q_abbrev_ru,
     "q_pip_squares": q_pip_squares,
@@ -1862,6 +1915,7 @@ ORACLES = {
     "q_repetition": Q_REPETITION_SQL,
     "q_clean_text": Q_CLEAN_TEXT_SQL,
     "q_curate": Q_CURATE_SQL,
+    "q_curate_stream": Q_CURATE_SQL,
     "q_unaccent": Q_UNACCENT_SQL,
     "q_abbrev_ru": Q_ABBREV_RU_SQL,
     "q_pip_squares": Q_PIP_SQUARES_SQL,
