@@ -127,10 +127,10 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     scaling: dict[int, dict] = {}
     samples: dict[int, list[float]] = {c: [] for c in core_levels}
     t_scale = time.time()
-    for _rep in range(7):
-        # budget guard: stop adding repeats once ~8 min of scaling
+    for _rep in range(9):
+        # budget guard: stop adding repeats once ~9 min of scaling
         # evidence is collected (every level keeps >=1 matched sample)
-        if _rep and time.time() - t_scale > 480 \
+        if _rep and time.time() - t_scale > 560 \
                 and all(samples[c] for c in core_levels):
             break
         # the north-rule pair is the two LOWEST levels (the top level is
@@ -146,18 +146,28 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
             if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
                 scaling[cores] = res
 
-    # throttle-window detector + retry (headline pair only, <=2 retries,
-    # time-bounded).  The retry replaces BOTH levels of the flagged
-    # repeat so the sample stays a matched window.
+    # throttle-window detector + retry (headline pair only, <=3 retries,
+    # time-bounded).  DIRECTION-NEUTRAL: a repeat re-runs when EITHER
+    # level's absolute throughput falls outside [0.7, 1/0.7] x that
+    # level's session median — a throttled low level biases the ratio
+    # UP, a throttled high level biases it DOWN, and a burst on either
+    # side biases the other way; all four are host-window artifacts.
+    # The retry replaces BOTH levels of the flagged repeat so the
+    # sample stays a matched window; raw pre-retry runs are published.
     lo_c, hi_c = core_levels[0], core_levels[1]
     raw_runs = {c: [round(x, 1) for x in samples[c]] for c in (lo_c, hi_c)}
     retried: list[int] = []
+    BAND = 0.7
+
+    def _outlier(level: int, r: int) -> bool:
+        med = statistics.median(samples[level])
+        v = samples[level][r]
+        return v < BAND * med or v > med / BAND
+
     for r in range(len(samples[hi_c])):
-        if len(retried) >= 2 or time.time() - t_scale > 720:
+        if len(retried) >= 3 or time.time() - t_scale > 840:
             break
-        med_lo = statistics.median(samples[lo_c])
-        med_hi = statistics.median(samples[hi_c])
-        if samples[lo_c][r] < 0.5 * med_lo or samples[hi_c][r] < 0.5 * med_hi:
+        if _outlier(lo_c, r) or _outlier(hi_c, r):
             a = _run_scaling_worker(lo_c, staged_scale, 100 + r)
             b = _run_scaling_worker(hi_c, staged_scale, 100 + r)
             samples[lo_c][r] = a["rps"]

@@ -971,6 +971,61 @@ FROM nation
 """
 
 
+def q_combined_quirks(spark, sf_dir):
+    """F21 Lua-pattern escaping quirks with a CASE-literal oracle: the
+    reference's crude metachar substitutions before the in-name search
+    (get_localized_name_from_tags.lua:144 — %W properly %%-escaped for
+    the LOCAL tag; :185-186 — '.'→'::' and '[]()%+*?^$'→'@' for the
+    ADDITIONAL tags, deliberately breaking the match) decide which
+    branch each constructed row takes:
+      0 hyphen in LOCAL name  → properly escaped, found → combined pair
+      1 dot in additional tag → '::' mangles the search → tag dropped
+      2 brackets in add. tag  → '@' mangles the search → tag dropped
+      3 slash-separated pair  → both found → positional combined pair
+      4 clean pair            → classic Bolzano/Bozen positional order"""
+    n = _t(spark, sf_dir, "nation")
+    m = F.col("n_nationkey") % 5
+    tags = (
+        F.when(m == 0, F.create_map(
+            F.lit("name"), F.lit("Porto-Novo - Hogbonu"),
+            F.lit("name:de"), F.lit("Porto-Novo"),
+            F.lit("name:yo"), F.lit("Hogbonu")))
+        .when(m == 1, F.create_map(
+            F.lit("name"), F.lit("St. Anton - Sankt Anton"),
+            F.lit("name:de"), F.lit("Sankt Anton"),
+            F.lit("name:it"), F.lit("St. Anton")))
+        .when(m == 2, F.create_map(
+            F.lit("name"), F.lit("Plaza [M] - Platz M"),
+            F.lit("name:de"), F.lit("Platz M"),
+            F.lit("name:es"), F.lit("Plaza [M]")))
+        .when(m == 3, F.create_map(
+            F.lit("name"), F.lit("Biel/Bienne"),
+            F.lit("name:de"), F.lit("Biel"),
+            F.lit("name:fr"), F.lit("Bienne")))
+        .otherwise(F.create_map(
+            F.lit("name"), F.lit("Bolzano - Bozen"),
+            F.lit("name:de"), F.lit("Bozen"),
+            F.lit("name:it"), F.lit("Bolzano"))))
+    out = udf_placename(
+        F.col("n_nationkey").cast("string"), F.to_json(tags), F.lit("de"),
+        F.lit(False), F.lit("\n"), F.lit(None).cast("double"),
+        F.lit(None).cast("double"))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    out.alias("combined"))
+
+
+Q_COMBINED_QUIRKS_SQL = """
+SELECT n_nationkey AS id, CASE n_nationkey % 5
+  WHEN 0 THEN chr(8234) || 'Porto-Novo' || chr(10) || 'Hogbonu' || chr(8236)
+  WHEN 1 THEN 'Sankt Anton'
+  WHEN 2 THEN 'Platz M'
+  WHEN 3 THEN chr(8234) || 'Biel' || chr(10) || 'Bienne' || chr(8236)
+  ELSE chr(8234) || 'Bozen' || chr(10) || 'Bolzano' || chr(8236)
+  END AS combined
+FROM nation
+"""
+
+
 def q_localize_latin(spark, sf_dir):
     """Flagship pipeline with a full oracle on the latin subset:
     latin-caption rows pass the cascade unchanged, and cell/tile ids are
@@ -1880,6 +1935,7 @@ QUERIES = {
     "q_abbrev_fr": q_abbrev_fr,
     "q_country_name": q_country_name,
     "q_placename_bilingual": q_placename_bilingual,
+    "q_combined_quirks": q_combined_quirks,
     "q_localize_latin": q_localize_latin,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_dups": q_embedding_dups,
@@ -1937,6 +1993,7 @@ ORACLES = {
     "q_abbrev_fr": Q_ABBREV_FR_SQL,
     "q_country_name": Q_COUNTRY_NAME_SQL,
     "q_placename_bilingual": Q_PLACENAME_BILINGUAL_SQL,
+    "q_combined_quirks": Q_COMBINED_QUIRKS_SQL,
     "q_localize_latin": Q_LOCALIZE_LATIN_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_embedding_dups": Q_EMBEDDING_DUPS_SQL,

@@ -23,7 +23,7 @@ from ..udfs import udf_country_gated, udf_country_lookup
 
 __all__ = [
     "assign_country", "assign_cells", "assign_tiles",
-    "knn_geo", "knn_cells", "cell_histogram", "salted_key",
+    "knn_geo", "knn_geo_bq", "knn_cells", "cell_histogram", "salted_key",
     "radius_join", "pip_join_rects", "pip_join_via_cover",
     "polygon_cover_table",
 ]
@@ -79,6 +79,77 @@ def knn_geo(queries: DataFrame, items: DataFrame, k: int,
                           F.col("i_lon"), F.col("i_lat")))
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("iid").asc())
     return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "iid", "dist2", "rank"))
+
+
+def knn_geo_bq(queries: DataFrame, items: DataFrame, k: int,
+               qid_col: str = "qid", iid_col: str = "iid") -> DataFrame:
+    """Brute-force kNN for a SMALL query set (broadcast-queries plan):
+    queries are collected (caller bounds the size) and closed over a
+    mapInPandas partial top-k over the items — a numpy distance matrix
+    per Arrow batch keeps the k best (dist2, iid)-ordered candidates
+    per query per partition, and a final exact window ranks the tiny
+    nq·k·n_partitions partial frame.  No q×n candidate materialization,
+    no big shuffle: the alternative (knn_geo without broadcast) windows
+    |queries|·|items| rows by qid — ~10M-row shuffle for the 64-query
+    residue at sf0.1, measured ~5s of the round-2 kNN record.
+
+    dist2 is bit-identical to knn_geo's JVM expression (same IEEE op
+    sequence), and per-partition selection keeps ALL rows tied at the
+    k-th distance before (dist2, iid) ordering, so the merged result is
+    exactly knn_geo's — ties included.  Output: (qid, iid, dist2, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(qid_col).alias("qid"),
+                           F.col("lon"), F.col("lat")).collect()
+    if not qrows:
+        empty = items.sparkSession.createDataFrame(
+            [], schema=f"qid {queries.schema[qid_col].dataType.simpleString()}, "
+                       f"iid {items.schema[iid_col].dataType.simpleString()}, "
+                       f"dist2 double, rank int")
+        return empty
+    qids = [r.qid for r in qrows]
+    q_lon = np.array([r.lon for r in qrows], dtype=np.float64)
+    q_lat = np.array([r.lat for r in qrows], dtype=np.float64)
+    nq = len(qids)
+    qt = queries.schema[qid_col].dataType.simpleString()
+    it = items.schema[iid_col].dataType.simpleString()
+    out_schema = f"qid {qt}, iid {it}, dist2 double"
+
+    def part(batches):
+        for pdf in batches:
+            ilon = pdf["lon"].to_numpy(dtype=np.float64)
+            ilat = pdf["lat"].to_numpy(dtype=np.float64)
+            iid = pdf["iid"].to_numpy()
+            if len(ilon) == 0:
+                continue
+            dx = ilon[:, None] - q_lon[None, :]
+            dy = ilat[:, None] - q_lat[None, :]
+            d = dx * dx + dy * dy            # same IEEE chain as _sq_dist
+            out_q, out_i, out_d = [], [], []
+            for j in range(nq):
+                dj = d[:, j]
+                if len(dj) > k:
+                    kth = np.partition(dj, k - 1)[k - 1]
+                    sel = np.nonzero(dj <= kth)[0]
+                else:
+                    sel = np.arange(len(dj))
+                if len(sel) > k:             # ties at the kth distance
+                    sel = sorted(sel, key=lambda t: (dj[t], iid[t]))[:k]
+                for t in sel:
+                    out_q.append(qids[j])
+                    out_i.append(iid[t])
+                    out_d.append(float(dj[t]))
+            yield pd.DataFrame({"qid": out_q, "iid": out_i, "dist2": out_d})
+
+    partial = items.select(F.col(iid_col).alias("iid"), "lon", "lat") \
+        .mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
+                                          F.col("iid").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "iid", "dist2", "rank"))
 
@@ -225,6 +296,7 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     defer_unpersist: list[DataFrame] = []
     pending = pending.withColumn("ring", F.lit(ring)).persist()
     n_pending = None
+    n_strag_total = 0
     cur_max_ring = ring           # driver-tracked bound → static offsets
     guard = (F.col("ring") * cell_h) ** 2
     for rnd in range(max_rounds):
@@ -267,8 +339,16 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
         stragglers.append(unresolved.filter(F.col("ring") > MAX_RING)
                           .drop("ring"))
         next_pending = unresolved.filter(F.col("ring") <= MAX_RING).persist()
-        stat = next_pending.agg(F.count("*").alias("n"),
-                                F.max("ring").alias("mr")).collect()[0]
+        # one agg over the persisted unresolved frame counts BOTH the
+        # still-pending and the overflow (straggler) sides, so the
+        # final leftovers isEmpty() probe becomes driver arithmetic
+        stat = unresolved.agg(
+            F.count(F.when(F.col("ring") <= MAX_RING, 1)).alias("n"),
+            F.max(F.when(F.col("ring") <= MAX_RING,
+                         F.col("ring"))).alias("mr"),
+            F.count(F.when(F.col("ring") > MAX_RING, 1)).alias("ns"),
+        ).collect()[0]
+        n_strag_total += int(stat.ns)
         n_before, n_pending = n_pending, stat.n
         cur_max_ring = int(stat.mr) if stat.mr is not None else 1
         pending.unpersist()
@@ -283,14 +363,25 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     leftovers = pending.select("qid", "q_lon", "q_lat")
     for s in stragglers:
         leftovers = leftovers.unionByName(s.select("qid", "q_lon", "q_lat"))
-    if not leftovers.isEmpty():
-        # isolated/sparse-region queries: brute-force against all items
-        round_results.append(knn_geo(
-            leftovers.select(F.col("qid"), F.col("q_lon").alias("lon"),
-                             F.col("q_lat").alias("lat")),
-            items_c.select(F.col("iid"), F.col("i_lon").alias("lon"),
-                           F.col("i_lat").alias("lat")),
-            k, qid_col="qid", iid_col="iid", broadcast_items=False))
+    # counts tracked driver-side during the rounds (isEmpty would be an
+    # extra job); n_pending is None only if the loop never ran
+    n_left = None if n_pending is None else n_pending + n_strag_total
+    if (n_left is None and not leftovers.isEmpty()) or (n_left or 0) > 0:
+        # isolated/sparse-region queries: brute-force against all items.
+        # A bounded residue takes the broadcast-queries partial-top-k
+        # plan (no q×n shuffle); an unbounded one (loop never ran /
+        # pathological straggler count) keeps the generic window plan.
+        lq = leftovers.select(F.col("qid"), F.col("q_lon").alias("lon"),
+                              F.col("q_lat").alias("lat"))
+        li = items_c.select(F.col("iid"), F.col("i_lon").alias("lon"),
+                            F.col("i_lat").alias("lat"))
+        if n_left is not None and n_left <= 1024:
+            round_results.append(knn_geo_bq(lq, li, k,
+                                            qid_col="qid", iid_col="iid"))
+        else:
+            round_results.append(knn_geo(lq, li, k, qid_col="qid",
+                                         iid_col="iid",
+                                         broadcast_items=False))
     results = round_results[0]
     for extra in round_results[1:]:
         results = results.unionByName(extra)

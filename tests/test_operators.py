@@ -61,6 +61,24 @@ def test_knn_cells_matches_bruteforce(spark):
     assert brute == cells
 
 
+def test_knn_geo_bq_matches_window_plan(spark):
+    """Broadcast-queries partial-top-k brute force (the knn_cells
+    residue plan) is row-identical to the generic window-plan brute
+    force, including exact-duplicate items (ties at the kth distance
+    resolved by iid on both plans) and ranks/dist2 values."""
+    from osml10n_spark.operators.spatial import knn_geo_bq
+    q = _points_df(spark, 15, 4, "q")
+    items = _points_df(spark, 200, 5, "i")
+    dup = items.limit(6).select(
+        F.concat(F.lit("zz_"), F.col("iid")).alias("iid"), "lon", "lat")
+    items = items.unionByName(dup)
+    a = {(r.qid, r.rank): (r.iid, r.dist2)
+         for r in knn_geo(q, items, 3).collect()}
+    b = {(r.qid, r.rank): (r.iid, r.dist2)
+         for r in knn_geo_bq(q, items, 3).collect()}
+    assert a == b
+
+
 def test_knn_cells_split_heavy_matches_bruteforce(spark):
     """split_heavy=True (hierarchical skew split) stays exact on a
     corpus with one deliberately heavy cell, with queries on both

@@ -156,6 +156,26 @@ def test_knn_ring_explode_is_jvm_only(spark):
     assert "Generate explode" in plan or "Generate" in plan
 
 
+def test_knn_geo_bq_plan_has_no_candidate_shuffle(spark):
+    """The broadcast-queries brute plan (knn_cells residue path) never
+    materializes or shuffles the q x n candidate space: no join of any
+    kind, exactly one MapInPandas over the items scan, and the only
+    Exchange is the final window over the tiny nq*k partial frame."""
+    from osml10n_spark.operators.spatial import knn_geo_bq
+    from osml10n_spark.plans import physical_plan
+    q = spark.createDataFrame(
+        [(f"q{i}", float(i), float(i % 40) - 20.0) for i in range(8)],
+        "qid string, lon double, lat double")
+    items = spark.createDataFrame(
+        [(f"i{i}", float(i % 60) - 30.0, float(i % 30) - 15.0)
+         for i in range(500)],
+        "iid string, lon double, lat double")
+    plan = physical_plan(knn_geo_bq(q, items, 3), mode="simple")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_simhash_is_jvm_native(spark):
     """The portable md5-nibble simhash never crosses into Python."""
     from osml10n_spark.operators.dedup import simhash64
