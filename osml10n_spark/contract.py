@@ -971,6 +971,39 @@ FROM nation
 """
 
 
+def q_snapshot_compact(spark, sf_dir):
+    """Snapshot compaction through the gate: three epoch commits of
+    disjoint nation slices rewrite into ONE compacted snapshot; the
+    table read AFTER compaction must carry exactly the source rows
+    (full value oracle — the rewrite is lossless) and the in-query
+    ``n_files`` invariant proves the replaced-snapshot bookkeeping
+    routed the reader to the single compacted file."""
+    import os
+    import tempfile
+    import uuid
+
+    from .engine.snapshots import SnapshotStore
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                           "n_regionkey")
+    root = os.path.join(tempfile.gettempdir(),
+                        "osml10n_gate_compact_" + uuid.uuid4().hex[:12])
+    store = SnapshotStore(root)
+    for i in range(3):
+        store.commit(n.filter(F.col("n_nationkey") % 3 == i), [i],
+                     metrics={"epoch": i})
+    cm = store.compact(spark)
+    out = store.committed_output(spark)
+    return out.select("n_nationkey", "n_name", "n_regionkey",
+                      F.lit(len(out.inputFiles())).alias("n_files"),
+                      F.lit(cm is not None).alias("compacted"))
+
+
+Q_SNAPSHOT_COMPACT_SQL = """
+SELECT n_nationkey, n_name, n_regionkey, 1 AS n_files, TRUE AS compacted
+FROM nation
+"""
+
+
 def q_combined_quirks(spark, sf_dir):
     """F21 Lua-pattern escaping quirks with a CASE-literal oracle: the
     reference's crude metachar substitutions before the in-name search
@@ -1936,6 +1969,7 @@ QUERIES = {
     "q_country_name": q_country_name,
     "q_placename_bilingual": q_placename_bilingual,
     "q_combined_quirks": q_combined_quirks,
+    "q_snapshot_compact": q_snapshot_compact,
     "q_localize_latin": q_localize_latin,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_dups": q_embedding_dups,
@@ -1994,6 +2028,7 @@ ORACLES = {
     "q_country_name": Q_COUNTRY_NAME_SQL,
     "q_placename_bilingual": Q_PLACENAME_BILINGUAL_SQL,
     "q_combined_quirks": Q_COMBINED_QUIRKS_SQL,
+    "q_snapshot_compact": Q_SNAPSHOT_COMPACT_SQL,
     "q_localize_latin": Q_LOCALIZE_LATIN_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_embedding_dups": Q_EMBEDDING_DUPS_SQL,

@@ -98,6 +98,71 @@ class SnapshotStore:
         self._write_manifest(self._manifest_path(snap_id), manifest)
         return manifest
 
+    # -------------------------------------------------------- compaction
+    def compact(self, spark: SparkSession, keep_last: int = 0,
+                min_snapshots: int = 2,
+                rows_per_file: int = 4_000_000) -> dict | None:
+        """Iceberg-style small-file compaction for the incremental /
+        streaming commit pattern, where every micro-batch epoch left a
+        small parquet dir: rewrite the data of all live snapshots
+        (optionally sparing the newest ``keep_last``) into ONE new
+        snapshot sized at ``rows_per_file`` rows per output file.
+
+        The compacted manifest records the snapshot ids it ``replaces``;
+        replaced snapshots stay on disk untouched, so ``as_of`` time
+        travel to any pre-compaction state still reads the original
+        files, while current-state readers (``committed_output`` with no
+        ``as_of``) skip replaced snapshots and scan the compacted files
+        once.  Compactions compose: a later compaction can replace an
+        earlier one.  Returns the new manifest, or None when fewer than
+        ``min_snapshots`` live snapshots qualify."""
+        manifests = self._manifests()
+        replaced = self._replaced_ids(manifests)
+        live = [m for m in manifests if m["snapshot_id"] not in replaced]
+        cand = live[:len(live) - keep_last] if keep_last else live
+        if len(cand) < min_snapshots:
+            return None
+        df = spark.read.parquet(*[m["data_dir"] for m in cand])
+        total = sum(int(m["row_count"]) for m in cand)
+        n_files = max(1, -(-total // rows_per_file))
+        parts: set[int] = set()
+        epochs: list[int] = []
+        for m in cand:
+            parts.update(m["completed_partitions"])
+            ep = m.get("metrics", {}).get("epoch")
+            if ep is not None:
+                epochs.append(int(ep))
+        parent = self.last_snapshot()
+        seq = (parent["seq"] + 1) if parent else 0
+        snap_id = f"{seq:06d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, "data", snap_id)
+        df.coalesce(n_files).write.mode("overwrite").parquet(data_dir)
+        row_count = spark.read.parquet(data_dir).count()
+        if row_count != total:      # refuse a lossy rewrite outright
+            raise RuntimeError(
+                f"compaction row mismatch: {row_count} != {total}")
+        manifest = {
+            "snapshot_id": snap_id,
+            "seq": seq,
+            "parent": parent["snapshot_id"] if parent else None,
+            "data_dir": data_dir,
+            "completed_partitions": sorted(parts),
+            "row_count": row_count,
+            "metrics": {"compaction": True,
+                        "replaced_epochs": sorted(epochs)},
+            "replaces": [m["snapshot_id"] for m in cand],
+            "committed_at": time.time(),
+        }
+        self._write_manifest(self._manifest_path(snap_id), manifest)
+        return manifest
+
+    @staticmethod
+    def _replaced_ids(manifests: list[dict]) -> set[str]:
+        out: set[str] = set()
+        for m in manifests:
+            out.update(m.get("replaces", []))
+        return out
+
     # ------------------------------------------------------------ resume
     def committed_epochs(self) -> set[int]:
         """Streaming epoch ids already committed (manifest-last commit
@@ -134,7 +199,10 @@ class SnapshotStore:
 
         ``as_of`` gives Iceberg-style TIME TRAVEL: pass a snapshot id or
         a seq number and only snapshots committed up to and including it
-        are read — the table exactly as that commit left it."""
+        are read — the table exactly as that commit left it.  Snapshots
+        replaced by a compaction WITHIN the visible prefix are skipped
+        (their rewrite covers them); a pre-compaction ``as_of`` sees no
+        compaction manifest and reads the original files."""
         manifests = self._manifests()
         if as_of is not None:
             cut = None
@@ -145,7 +213,9 @@ class SnapshotStore:
             if cut is None:
                 raise KeyError(f"no committed snapshot {as_of!r}")
             manifests = manifests[:cut + 1]
-        dirs = [m["data_dir"] for m in manifests]
+        replaced = self._replaced_ids(manifests)
+        dirs = [m["data_dir"] for m in manifests
+                if m["snapshot_id"] not in replaced]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

@@ -1,0 +1,84 @@
+"""Unit tests for bench.py's scaling estimator — the north-rule record
+math (matched-window median, peak reporting, direction-neutral
+throttle-retry) exercised deterministically with fake workers, no
+Spark, no subprocesses."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def _fake_worker_factory(schedule):
+    iters = {c: iter(v) for c, v in schedule.items()}
+
+    def fake(cores, staged, rep):
+        rps = next(iters[cores])
+        return {"cores": cores, "sec": 1.0, "rows": int(rps), "rps": rps}
+
+    return fake
+
+
+def test_scaling_median_peak_and_retry(monkeypatch):
+    """A throttled local[8] window (>2x below that level's median) is
+    re-run as a matched pair; the headline stays the MEDIAN of the
+    matched-window ratios; raw pre-retry runs are published."""
+    monkeypatch.setattr(bench, "CPUS", 32)
+    schedule = {
+        # reps 0-8 (9 scheduled) + 1 retry draw for the flagged rep
+        2: [100.0] * 9 + [100.0],
+        8: [400.0, 100.0] + [400.0] * 7 + [400.0],
+        32: [400.0] * 3,
+    }
+    monkeypatch.setattr(bench, "_run_scaling_worker",
+                        _fake_worker_factory(schedule))
+    scaling, pairs, detector = bench._run_scaling("/unused")
+    assert pairs["2->8"] == 1.0
+    assert pairs["2->8_peak"] >= 1.0
+    assert pairs["2->8_runs"] == [1.0] * 9
+    assert detector["retried_reps"] == [1]
+    # the raw (pre-retry) record keeps the throttled 100 rps sample
+    assert detector["runs_raw_rps"][8][1] == 100.0
+    assert detector["runs_raw_rps"][2][1] == 100.0
+    # per-level bests reflect post-retry values
+    assert scaling[8]["rps"] == 400.0
+    assert pairs["8->32"] == 0.25            # DRAM-ceiling level, honest
+
+
+def test_scaling_no_retry_when_inside_band(monkeypatch):
+    """Samples within [0.7, 1/0.7] of each level's median never re-run,
+    and the median is reported as-is (no silent peak promotion)."""
+    monkeypatch.setattr(bench, "CPUS", 32)
+    schedule = {
+        2: [100.0, 110.0, 90.0, 105.0, 95.0, 100.0, 100.0, 100.0, 100.0],
+        8: [320.0, 360.0, 300.0, 340.0, 310.0, 320.0, 320.0, 320.0, 320.0],
+        32: [500.0] * 3,
+    }
+    monkeypatch.setattr(bench, "_run_scaling_worker",
+                        _fake_worker_factory(schedule))
+    scaling, pairs, detector = bench._run_scaling("/unused")
+    assert detector == {}                    # nothing retried
+    runs = pairs["2->8_runs"]
+    assert len(runs) == 9
+    s = sorted(runs)
+    assert pairs["2->8"] == s[len(s) // 2]   # true median, not max
+    assert pairs["2->8_peak"] == max(runs + [
+        (scaling[8]["rps"] / scaling[2]["rps"]) / 4])
+
+
+def test_scaling_retry_direction_neutral_on_burst(monkeypatch):
+    """A BURST (not throttle) on the high level also re-runs — the
+    detector is direction-neutral, so lucky windows can't inflate the
+    record any more than unlucky ones can deflate it."""
+    monkeypatch.setattr(bench, "CPUS", 32)
+    schedule = {
+        2: [100.0] * 9 + [100.0],
+        8: [320.0, 800.0] + [320.0] * 7 + [320.0],   # rep 1 bursts 2.5x
+        32: [500.0] * 3,
+    }
+    monkeypatch.setattr(bench, "_run_scaling_worker",
+                        _fake_worker_factory(schedule))
+    scaling, pairs, detector = bench._run_scaling("/unused")
+    assert detector["retried_reps"] == [1]
+    assert pairs["2->8_runs"] == [0.8] * 9

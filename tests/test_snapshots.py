@@ -184,6 +184,51 @@ def test_snapshot_time_travel(spark, tmp_path):
         store.committed_output(spark, as_of="nope")
 
 
+def test_snapshot_compaction(spark, tmp_path):
+    """compact(): many small epoch snapshots rewrite into ONE snapshot
+    the current-state reader scans instead (identical rowset, fewer
+    files); time travel to pre-compaction snapshots reads the original
+    files; committed epochs survive; compactions compose."""
+    from osml10n_spark.engine.job import add_cell_prefix
+    from osml10n_spark.engine.snapshots import SnapshotStore
+    from osml10n_spark.sources.datagen import generate_images
+
+    root = str(tmp_path / "cmp")
+    store = SnapshotStore(root)
+    batch = add_cell_prefix(generate_images(spark, 60, seed=21,
+                                            with_images=False))
+    g = F.pmod(F.xxhash64("image_id"), F.lit(3))
+    slices = [batch.filter(g == i) for i in range(3)]
+    for i, s in enumerate(slices):
+        store.commit(s, [i], metrics={"epoch": i})
+    n0 = slices[0].count()
+    before = sorted(r.image_id for r in
+                    store.committed_output(spark).collect())
+    files_before = len(store.committed_output(spark).inputFiles())
+    cm = store.compact(spark)
+    assert cm is not None and cm["row_count"] == 60
+    cur = store.committed_output(spark)
+    assert sorted(r.image_id for r in cur.collect()) == before
+    assert len(cur.inputFiles()) == 1 < files_before
+    assert store.committed_epochs() == {0, 1, 2}
+    assert cm["metrics"]["replaced_epochs"] == [0, 1, 2]
+    # time travel: pre-compaction state reads the ORIGINAL files
+    assert store.committed_output(spark, as_of=0).count() == n0
+    # as-of the compaction itself = the full table, compacted files
+    at_cm = store.committed_output(spark, as_of=cm["snapshot_id"])
+    assert at_cm.count() == 60 and len(at_cm.inputFiles()) == 1
+    # compactions compose: new epoch + re-compact replaces (cm, new)
+    extra = batch.limit(10).withColumn(
+        "image_id", F.concat(F.lit("n_"), F.col("image_id")))
+    m4 = store.commit(extra, [3], metrics={"epoch": 3})
+    cm2 = store.compact(spark)
+    assert set(cm2["replaces"]) == {cm["snapshot_id"], m4["snapshot_id"]}
+    final = store.committed_output(spark)
+    assert final.count() == 70 and len(final.inputFiles()) == 1
+    # a lone live snapshot does not re-compact
+    assert store.compact(spark) is None
+
+
 def test_streaming_curate(spark, tmp_path):
     """curate_stream: per-micro-batch dedup + quality gate with
     epoch-keyed exactly-once snapshot commits."""
