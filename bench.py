@@ -196,18 +196,21 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     return scaling, pairs, detector
 
 
-def _min_of(fn, reps: int = 3) -> float:
-    """Min-of-N wall time for one already-built action thunk.  Every
-    published per-query number goes through this — the host's CPU
-    burstiness makes single samples 5-10x noisy (round-2 driver record
-    had a 10.6s q_exact_dedup sample vs a 1.6s steady state)."""
-    best = None
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        el = time.time() - t0
-        best = el if best is None or el < best else best
-    return best
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+OP_SWEEPS = 4
+"""Per-query samples are taken as OP_SWEEPS round-robin sweeps over ALL
+operator queries (publish the min per query), not N back-to-back runs of
+each: the host throttles in minutes-long windows, and consecutive
+samples of one query all land inside the same window (round-2 driver
+record: a 10.6s q_exact_dedup vs 1.6s steady state; round-3 first run:
+flagship 5.5s vs 1.27s minutes earlier).  Sweeping spreads each query's
+samples across the whole block so one window cannot cover every sample
+of any single query."""
 
 
 def main() -> None:
@@ -239,34 +242,9 @@ def main() -> None:
     scaling, pairs, detector = _run_scaling(staged_scale)
 
     spark = build_session(app_name="bench", cores=CPUS)
-    timings: dict[str, float] = {}
-
-    # flagship: localization + spatial + tiles (the BASELINE metric).
-    # min-of-3 over disjoint hash-slices (cold per-worker memos each
-    # run; the host's CPU burstiness makes single samples 5-10x noisy)
-    best_rps, best_sec = 0.0, None
-    for part in range(3):
-        sec, n = _run_flagship(spark, staged, part=part, parts=3)
-        rps = n / sec
-        if rps > best_rps:
-            best_rps, best_sec = rps, sec
-    timings["q_localize_pipeline"] = round(best_sec, 3)
-    flagship_rps = best_rps
 
     images = spark.read.parquet(staged)
-
-    timings["q_spatial_join"] = round(_min_of(
-        lambda: assign_country(images, gate_name_col="caption")
-        .groupBy("cc").count().collect()), 3)
-
-    timings["q_tile_assign"] = round(_min_of(
-        lambda: assign_tiles(images, z=8, maxz=16)
-        .groupBy("tile_id").count().count()), 3)
-
-    timings["q_cell_histogram"] = round(_min_of(
-        lambda: assign_cells(images, res=9).groupBy("cell_id").count()
-        .orderBy(F.col("count").desc()).limit(20).collect()), 3)
-
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     queries = images.filter(F.col("lat").between(-60, 75)).limit(1000) \
         .select(F.col("image_id").alias("qid"), "lon", "lat")
 
@@ -277,16 +255,46 @@ def main() -> None:
         r.count()
         r.unpersist()               # knn_cells returns a persisted result
 
-    timings["q_knn_cells"] = round(_min_of(_knn_once), 3)
+    ops: list[tuple[str, object]] = [
+        ("q_spatial_join",
+         lambda: assign_country(images, gate_name_col="caption")
+         .groupBy("cc").count().collect()),
+        ("q_tile_assign",
+         lambda: assign_tiles(images, z=8, maxz=16)
+         .groupBy("tile_id").count().count()),
+        ("q_cell_histogram",
+         lambda: assign_cells(images, res=9).groupBy("cell_id").count()
+         .orderBy(F.col("count").desc()).limit(20).collect()),
+        ("q_knn_cells", _knn_once),
+        ("q_minhash",
+         lambda: minhash_signature(docs, "doc_id", "text",
+                                   n=5, bands=4).count()),
+        ("q_exact_dedup",
+         lambda: exact_dedup(docs.unionAll(docs.limit(50)),
+                             "doc_id", "text").count()),
+    ]
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timings["q_minhash"] = round(_min_of(
-        lambda: minhash_signature(docs, "doc_id", "text",
-                                  n=5, bands=4).count()), 3)
+    # round-robin sweeps (see OP_SWEEPS doc): flagship first in each
+    # sweep on a disjoint hash-slice (cold per-worker memos per run),
+    # then every operator once; publish the per-query min across sweeps
+    best: dict[str, float] = {}
+    flagship_rps = 0.0
+    for sweep in range(OP_SWEEPS):
+        if sweep < 3:
+            # flagship stays a 1/3-table timed slice (3 disjoint slices,
+            # comparable to the r1/r2 records); operators sweep 4x
+            sec, n = _run_flagship(spark, staged, part=sweep, parts=3)
+            if "q_localize_pipeline" not in best \
+                    or sec < best["q_localize_pipeline"]:
+                best["q_localize_pipeline"] = sec
+            flagship_rps = max(flagship_rps, n / sec)
+        for name, fn in ops:
+            el = _timed(fn)
+            if name not in best or el < best[name]:
+                best[name] = el
 
-    timings["q_exact_dedup"] = round(_min_of(
-        lambda: exact_dedup(docs.unionAll(docs.limit(50)),
-                            "doc_id", "text").count()), 3)
+    order = ["q_localize_pipeline"] + [name for name, _ in ops]
+    timings = {name: round(best[name], 3) for name in order}
 
     spark.stop()
 
