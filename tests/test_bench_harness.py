@@ -1,7 +1,8 @@
 """Unit tests for bench.py's scaling estimator — the north-rule record
 math (matched-window median, peak reporting, direction-neutral
-throttle-retry) exercised deterministically with fake workers, no
-Spark, no subprocesses."""
+throttle-retry, pair-first phase ordering) exercised deterministically
+with fake workers, no Spark, no subprocesses."""
+import statistics
 import sys
 from pathlib import Path
 
@@ -9,11 +10,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import bench  # noqa: E402
 
+# phase-1 schedule: 6 matched (2, 8) repeats before any retry/phase-2
+N_PAIR = 6
 
-def _fake_worker_factory(schedule):
+
+def _fake_worker_factory(schedule, calls=None):
     iters = {c: iter(v) for c, v in schedule.items()}
 
     def fake(cores, staged, rep):
+        if calls is not None:
+            calls.append((cores, rep))
         rps = next(iters[cores])
         return {"cores": cores, "sec": 1.0, "rows": int(rps), "rps": rps}
 
@@ -26,9 +32,10 @@ def test_scaling_median_peak_and_retry(monkeypatch):
     matched-window ratios; raw pre-retry runs are published."""
     monkeypatch.setattr(bench, "CPUS", 32)
     schedule = {
-        # reps 0-8 (9 scheduled) + 1 retry draw for the flagged rep
-        2: [100.0] * 9 + [100.0],
-        8: [400.0, 100.0] + [400.0] * 7 + [400.0],
+        # 6 pair reps + 1 retry draw for the flagged rep
+        2: [100.0] * N_PAIR + [100.0],
+        # rep 1 throttled; retry draw 400; then 3 phase-2 draws
+        8: [400.0, 100.0] + [400.0] * (N_PAIR - 2) + [400.0] + [400.0] * 3,
         32: [400.0] * 3,
     }
     monkeypatch.setattr(bench, "_run_scaling_worker",
@@ -36,7 +43,7 @@ def test_scaling_median_peak_and_retry(monkeypatch):
     scaling, pairs, detector = bench._run_scaling("/unused")
     assert pairs["2->8"] == 1.0
     assert pairs["2->8_peak"] >= 1.0
-    assert pairs["2->8_runs"] == [1.0] * 9
+    assert pairs["2->8_runs"] == [1.0] * N_PAIR
     assert detector["retried_reps"] == [1]
     # the raw (pre-retry) record keeps the throttled 100 rps sample
     assert detector["runs_raw_rps"][8][1] == 100.0
@@ -44,6 +51,7 @@ def test_scaling_median_peak_and_retry(monkeypatch):
     # per-level bests reflect post-retry values
     assert scaling[8]["rps"] == 400.0
     assert pairs["8->32"] == 0.25            # DRAM-ceiling level, honest
+    assert pairs["8->32_runs"] == [0.25] * 3  # matched (8,32) phase-2 reps
 
 
 def test_scaling_no_retry_when_inside_band(monkeypatch):
@@ -51,8 +59,8 @@ def test_scaling_no_retry_when_inside_band(monkeypatch):
     and the median is reported as-is (no silent peak promotion)."""
     monkeypatch.setattr(bench, "CPUS", 32)
     schedule = {
-        2: [100.0, 110.0, 90.0, 105.0, 95.0, 100.0, 100.0, 100.0, 100.0],
-        8: [320.0, 360.0, 300.0, 340.0, 310.0, 320.0, 320.0, 320.0, 320.0],
+        2: [100.0, 110.0, 90.0, 105.0, 95.0, 100.0],
+        8: [320.0, 360.0, 300.0, 340.0, 310.0, 320.0] + [320.0] * 3,
         32: [500.0] * 3,
     }
     monkeypatch.setattr(bench, "_run_scaling_worker",
@@ -60,11 +68,10 @@ def test_scaling_no_retry_when_inside_band(monkeypatch):
     scaling, pairs, detector = bench._run_scaling("/unused")
     assert detector == {}                    # nothing retried
     runs = pairs["2->8_runs"]
-    assert len(runs) == 9
-    s = sorted(runs)
-    assert pairs["2->8"] == s[len(s) // 2]   # true median, not max
-    assert pairs["2->8_peak"] == max(runs + [
-        (scaling[8]["rps"] / scaling[2]["rps"]) / 4])
+    assert len(runs) == N_PAIR
+    assert pairs["2->8"] == round(statistics.median(runs), 3)  # not max
+    assert pairs["2->8_peak"] == round(max(
+        runs + [(scaling[8]["rps"] / scaling[2]["rps"]) / 4]), 3)
 
 
 def test_scaling_retry_direction_neutral_on_burst(monkeypatch):
@@ -73,12 +80,33 @@ def test_scaling_retry_direction_neutral_on_burst(monkeypatch):
     record any more than unlucky ones can deflate it."""
     monkeypatch.setattr(bench, "CPUS", 32)
     schedule = {
-        2: [100.0] * 9 + [100.0],
-        8: [320.0, 800.0] + [320.0] * 7 + [320.0],   # rep 1 bursts 2.5x
+        2: [100.0] * N_PAIR + [100.0],
+        8: [320.0, 800.0] + [320.0] * (N_PAIR - 2)   # rep 1 bursts 2.5x
+           + [320.0] + [320.0] * 3,
         32: [500.0] * 3,
     }
     monkeypatch.setattr(bench, "_run_scaling_worker",
                         _fake_worker_factory(schedule))
     scaling, pairs, detector = bench._run_scaling("/unused")
     assert detector["retried_reps"] == [1]
-    assert pairs["2->8_runs"] == [0.8] * 9
+    assert pairs["2->8_runs"] == [0.8] * N_PAIR
+
+
+def test_scaling_pair_runs_before_top_level(monkeypatch):
+    """Phase ordering: every headline-pair (2, 8) repeat — including
+    retries — completes BEFORE the first bandwidth-saturating top-level
+    (32) run, so the pair's matched windows get the coolest host."""
+    monkeypatch.setattr(bench, "CPUS", 32)
+    calls: list[tuple[int, int]] = []
+    schedule = {
+        2: [100.0] * N_PAIR,
+        8: [320.0] * N_PAIR + [320.0] * 3,
+        32: [500.0] * 3,
+    }
+    monkeypatch.setattr(bench, "_run_scaling_worker",
+                        _fake_worker_factory(schedule, calls))
+    bench._run_scaling("/unused")
+    first_top = next(i for i, (c, _) in enumerate(calls) if c == 32)
+    assert all(c != 2 for c, _ in calls[first_top:])
+    # phase 2 pairs (8, 32) within each repeat for the 8->32 ratios
+    assert [c for c, _ in calls[first_top - 1:]] == [8, 32] * 3
