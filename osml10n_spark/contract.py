@@ -1929,6 +1929,53 @@ def q_image_features(spark, sf_dir):
         .alias("decoded_frac"))
 
 
+def q_image_dups(spark, sf_dir):
+    """Near-duplicate IMAGE detection with a FULL DuckDB oracle: the
+    deterministic generator plants near-dup images (1-3 perturbed pixel
+    channels over a replayable base image, datagen.visual_for_id), and
+    image_dup_pairs runs the banded Hamming equi-join over the 64-bit
+    phash column (8 8-bit bands, pigeonhole-EXACT for hamming ≤4).
+    The oracle re-derives banding + hamming refine in SQL over
+    kernel-computed phash literals — the distributed candidate
+    machinery is the thing on trial; the pixel kernel itself is pinned
+    by pytest (phash equality, PSNR).  Only (id, phash) enter the
+    self-join: payload bytes are pruned before the exchange."""
+    from .operators.multimodal import image_dup_pairs
+    from .sources.datagen import generate_images
+    imgs = generate_images(spark, 300, seed=4242, near_dup_frac=0.15,
+                           partitions=8)
+    return image_dup_pairs(imgs, max_hamming=4)
+
+
+def _image_dups_sql() -> str:
+    """Oracle for q_image_dups: (image_id, phash) ground truth from the
+    pure-python generator kernel (no Spark), banding + hamming in
+    DuckDB SQL.  Arithmetic >> plus the band mask equals Spark's
+    shiftrightunsigned (the mask discards sign-extension bits) — same
+    trick as Q_SIMHASH_PAIRS_SQL."""
+    from .imaging import phash64
+    from .sources.datagen import visual_for_id
+    vals = ", ".join(
+        f"('img_{i:012d}', {phash64(visual_for_id(4242, i, 0.15)[3])}::BIGINT)"
+        for i in range(300))
+    return f"""
+WITH sig(image_id, phash) AS (VALUES {vals}),
+banded AS (SELECT image_id, phash, band, (phash >> (8 * band)) & 255 AS bkey
+           FROM sig CROSS JOIN
+                (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
+pairs AS (SELECT DISTINCT a.image_id AS a_id, b2.image_id AS b_id,
+                 a.phash AS a_sig, b2.phash AS b_sig
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.bkey = b2.bkey
+           AND a.image_id < b2.image_id)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(a_sig, b_sig)) <= 4
+"""
+
+
+Q_IMAGE_DUPS_SQL = _image_dups_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1994,9 +2041,11 @@ QUERIES = {
     "q_cube_revenue": q_cube_revenue,
     "q_running_window": q_running_window,
     "q_translit_cyrillic": q_translit_cyrillic,
+    "q_image_dups": q_image_dups,
 }
 
 ORACLES = {
+    "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,

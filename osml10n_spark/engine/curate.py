@@ -44,10 +44,16 @@ def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
        ``tags`` map's ``name`` entry, matching the flagship pipeline.
     """
     c = F.col(text_col)
+    # survivor selection in ONE shuffle: min_by(struct(row), id) under
+    # the md5 group key partial-aggregates map-side, so duplicate rows
+    # collapse BEFORE the exchange — replaces the previous narrow
+    # groupBy + full-row left-semi join (two shuffles, no map-side dup
+    # collapse).  Ids are unique, so min_by is deterministic.
     keyed = df.withColumn("_dup_key", F.md5(normalize_text(c)))
-    keep = keyed.groupBy("_dup_key").agg(F.min(id_col).alias(id_col))
-    deduped = keyed.join(keep, ["_dup_key", id_col], "left_semi") \
-        .drop("_dup_key")
+    deduped = (keyed.groupBy("_dup_key")
+               .agg(F.min_by(F.struct(*df.columns), F.col(id_col))
+                    .alias("_row"))
+               .select("_row.*"))
 
     g = gopher_flags(c)
     rep = repetition_ratio(c, 2)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "normalize_text", "exact_dedup", "shingles", "minhash_signature",
     "minhash_dup_pairs", "ngram_jaccard_pairs", "simhash64",
-    "simhash_dup_pairs", "embedding_dups",
+    "simhash_dup_pairs", "hash_dup_pairs", "embedding_dups",
 ]
 
 
@@ -165,20 +165,41 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded: split the 64
-    bits into 4 16-bit bands — any pair within hamming ≤3 shares at
-    least one exact band (pigeonhole), so the join is an equi-join."""
-    sig = simhash64(df, id_col, text_col)
+def hash_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
+                   max_hamming: int = 3,
+                   n_bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by Hamming distance over ANY precomputed 64-bit
+    signature column (SimHash, image phash, audio fingerprint, …),
+    banded: split the 64 bits into ``n_bands`` equal bands — by
+    pigeonhole, any pair within hamming ≤ n_bands-1 shares at least one
+    exact band, so candidate generation is a pure equi-join (no
+    cross-join anywhere; EXACT for the threshold, not approximate).
+
+    ``n_bands`` defaults to the smallest divisor of 64 that is
+    > ``max_hamming`` (4 bands/16 bits for hamming ≤3, 8 bands/8 bits
+    for ≤7…).  Scale tradeoff: more bands tolerate larger distances but
+    weaken blocking (a b-bit band key has only 2^b buckets — at very
+    large n prefer the smallest n_bands the threshold allows, or
+    pre-block by a coarse key).  Returns (a_id, b_id, hamming)."""
+    if n_bands is None:
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64)
+                       if d > max_hamming)
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    if n_bands <= max_hamming:
+        raise ValueError("pigeonhole needs n_bands > max_hamming")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(hash_col).cast("long").alias("sig"))
     banded = sig.select(
-        "doc_id", "simhash",
+        "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
-            for i in range(4)])).alias("bb")) \
-        .select("doc_id", "simhash", "bb.band", "bb.bkey")
+                     F.shiftrightunsigned(F.col("sig"), width * i)
+                     .bitwiseAND(F.lit(mask)).alias("bkey"))
+            for i in range(n_bands)])).alias("bb")) \
+        .select("doc_id", "sig", "bb.band", "bb.bkey")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -186,13 +207,22 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("a_id"),
                      F.col("b.doc_id").alias("b_id"),
-                     F.col("a.simhash").alias("a_sim"),
-                     F.col("b.simhash").alias("b_sim"))
+                     F.col("a.sig").alias("a_sig"),
+                     F.col("b.sig").alias("b_sig"))
              .distinct())
-    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return pairs.withColumn("hamming", ham) \
         .filter(F.col("hamming") <= max_hamming) \
         .select("a_id", "b_id", "hamming")
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance: simhash64 signatures
+    through the banded equi-join of hash_dup_pairs (4 16-bit bands at
+    the default hamming ≤3)."""
+    return hash_dup_pairs(simhash64(df, id_col, text_col),
+                          "doc_id", "simhash", max_hamming=max_hamming)
 
 
 def embedding_dups(df: DataFrame, id_col: str, vec_col: str,

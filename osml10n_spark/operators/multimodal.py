@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..imaging import decode_image, phash64, psnr
 
 __all__ = ["image_features", "verify_payload", "resize_images",
-           "sample_frames", "FEATURES_DDL", "RESIZE_DDL", "FRAMES_DDL"]
+           "sample_frames", "image_dup_pairs",
+           "FEATURES_DDL", "RESIZE_DDL", "FRAMES_DDL"]
 
 FEATURES_DDL = ("image_id string, fmt string, mean_r double, mean_g double, "
                 "mean_b double, brightness double, phash_check long, "
@@ -176,3 +177,24 @@ def sample_frames(df: DataFrame, every_k: int = 2,
                                              "h", "frame_bytes", "phash"])
 
     return df.select(*cols).mapInPandas(work, schema=FRAMES_DDL)
+
+
+def image_dup_pairs(df: DataFrame, id_col: str = "image_id",
+                    hash_col: str = "phash",
+                    max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate IMAGE detection over the perceptual-hash column:
+    banded Hamming equi-join (operators.dedup.hash_dup_pairs) on the
+    64-bit phash that decode/resize/frame-sampling already emit — the
+    visual twin of SimHash text dedup, sharing one candidate-generation
+    machinery.
+
+    Only (id, phash) enter the self-join — the binary payload column is
+    pruned before the exchange, so at 100 TB the shuffle carries 16
+    bytes/row, not megapixel blobs.  Pigeonhole banding keeps the
+    result EXACT for the given ``max_hamming`` (default 4 → 8 8-bit
+    bands).  Returns (a_id, b_id, hamming)."""
+    from .dedup import hash_dup_pairs
+    pruned = df.select(F.col(id_col), F.col(hash_col))
+    out = hash_dup_pairs(pruned, id_col, hash_col,
+                         max_hamming=max_hamming)
+    return out.select(F.col("a_id"), F.col("b_id"), F.col("hamming"))

@@ -20,7 +20,8 @@ import pandas as pd
 
 from ..imaging import encode_image, phash64
 
-__all__ = ["images_schema_ddl", "generate_images", "caption_for", "IMAGES_DDL"]
+__all__ = ["images_schema_ddl", "generate_images", "caption_for",
+           "visual_for_id", "IMAGES_DDL"]
 
 IMAGES_DDL = ("image_id string, bytes binary, w int, h int, fmt string, "
               "caption string, phash long, lon double, lat double, "
@@ -103,16 +104,47 @@ def _place_world(rng: np.random.Generator) -> tuple[float, float]:
 _FMTS = ["bmp", "raw", "jpegq"]
 
 
-def _gen_rows(ids: np.ndarray, seed: int, with_images: bool) -> pd.DataFrame:
+def visual_for_id(seed: int, i: int,
+                  near_dup_frac: float = 0.0) -> tuple[int, int, str, np.ndarray]:
+    """(w, h, fmt, pixels) for row id ``i`` — REPLAYABLE from the id
+    alone, which is what makes ``near_dup_frac`` partition-safe: a
+    near-dup row reconstructs its base row's pixels by recursing on the
+    base id (bases chain strictly downward, so recursion terminates)
+    without ever seeing the base row.  With frac=0 the draw sequence is
+    identical to the original generator, so existing datasets/goldens
+    are byte-stable; with frac>0 the dup decision draws AFTER the row's
+    own pixel draws, so non-dup rows keep frac=0 pixels too.
+
+    A dup row copies a base image and perturbs 1–3 pixel channels by
+    ≤7/255 — visually near-identical, so its mean-threshold phash lands
+    within a few bits of the base (the image_dup_pairs test surface)."""
+    rng = np.random.default_rng([seed, int(i)])
+    caption_for(rng)                      # burn draws in generator order
+    w = int(rng.integers(8, 25))
+    h = int(rng.integers(8, 25))
+    fmt = _FMTS[int(rng.integers(3))]
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if near_dup_frac > 0 and int(i) > 0 and rng.random() < near_dup_frac:
+        base = int(rng.integers(0, int(i)))
+        w, h, fmt, pix = visual_for_id(seed, base, near_dup_frac)
+        pix = pix.copy()
+        for _ in range(int(rng.integers(1, 4))):
+            y = int(rng.integers(h))
+            x = int(rng.integers(w))
+            ch = int(rng.integers(3))
+            pix[y, x, ch] = np.uint8(
+                (int(pix[y, x, ch]) + int(rng.integers(1, 8))) % 256)
+    return w, h, fmt, pix
+
+
+def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,
+              near_dup_frac: float = 0.0) -> pd.DataFrame:
     rows = []
     for i in ids:
         rng = np.random.default_rng([seed, int(i)])
         cap, tags, lon, lat = caption_for(rng)
         if with_images:
-            w = int(rng.integers(8, 25))
-            h = int(rng.integers(8, 25))
-            fmt = _FMTS[int(rng.integers(3))]
-            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            w, h, fmt, pix = visual_for_id(seed, int(i), near_dup_frac)
             data = encode_image(pix, fmt)
             ph = phash64(pix)
         else:
@@ -126,14 +158,19 @@ def _gen_rows(ids: np.ndarray, seed: int, with_images: bool) -> pd.DataFrame:
 
 
 def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
-                    partitions: int | None = None):
-    """Distributed deterministic generation of the input table."""
+                    partitions: int | None = None,
+                    near_dup_frac: float = 0.0):
+    """Distributed deterministic generation of the input table.
+    ``near_dup_frac`` > 0 makes that fraction of images slight
+    perturbations of earlier images (see visual_for_id) for the
+    near-duplicate-image detection surface."""
     if partitions is None:
         partitions = max(int(spark.sparkContext.defaultParallelism), 4)
     rng_rows = spark.range(0, n, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _gen_rows(pdf["id"].to_numpy(), seed, with_images)
+            yield _gen_rows(pdf["id"].to_numpy(), seed, with_images,
+                            near_dup_frac)
 
     return rng_rows.mapInPandas(gen, schema=IMAGES_DDL)

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from osml10n_spark.operators.dedup import (
-    exact_dedup, minhash_dup_pairs, ngram_jaccard_pairs, simhash_dup_pairs,
+    exact_dedup, hash_dup_pairs, minhash_dup_pairs, ngram_jaccard_pairs,
+    simhash_dup_pairs,
     embedding_dups)
 from osml10n_spark.operators.similarity import cosine_topk, lsh_topk
 from osml10n_spark.operators.spatial import (
@@ -172,6 +173,84 @@ def test_simhash_pairs(spark):
                                         max_hamming=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hash_dup_pairs_banded_equals_brute(spark):
+    # pigeonhole banding is EXACT, not approximate: the banded
+    # equi-join must equal the brute-force hamming filter for every
+    # legal threshold/band-count combination — including sign-bit
+    # signatures (bit 63 set → negative long)
+    import itertools
+    import random
+    rnd = random.Random(7)
+    sigs = []
+    base = rnd.getrandbits(64) | (1 << 63)       # force the sign bit
+    for k in range(6):                           # cluster at hamming k
+        v = base
+        for b in rnd.sample(range(64), k):
+            v ^= 1 << b
+        sigs.append(v)
+    sigs += [rnd.getrandbits(64) for _ in range(30)]
+
+    def s64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(i, s64(v)) for i, v in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    for mh in (3, 4, 7):
+        got = {(r.a_id, r.b_id, r.hamming)
+               for r in hash_dup_pairs(df, "doc_id", "sig",
+                                       max_hamming=mh).collect()}
+        want = {(i, j, bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+                for (i, a), (j, b) in itertools.combinations(rows, 2)
+                if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= mh}
+        assert got == want
+    with pytest.raises(ValueError):
+        hash_dup_pairs(df, "doc_id", "sig", max_hamming=4, n_bands=4)
+
+
+def test_image_dup_pairs_matches_kernel_ground_truth(spark):
+    # the generator plants near-dup images; the distributed banded join
+    # over the phash column must find exactly the pairs the pure-python
+    # kernel ground truth yields
+    import itertools
+
+    from osml10n_spark.imaging import phash64
+    from osml10n_spark.operators.multimodal import image_dup_pairs
+    from osml10n_spark.sources.datagen import generate_images, visual_for_id
+
+    imgs = generate_images(spark, 120, seed=99, near_dup_frac=0.2,
+                           partitions=6)
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in image_dup_pairs(imgs, max_hamming=4).collect()}
+    ph = {i: phash64(visual_for_id(99, i, 0.2)[3]) for i in range(120)}
+    want = {(f"img_{i:012d}", f"img_{j:012d}",
+             bin((ph[i] ^ ph[j]) & ((1 << 64) - 1)).count("1"))
+            for i, j in itertools.combinations(range(120), 2)
+            if bin((ph[i] ^ ph[j]) & ((1 << 64) - 1)).count("1") <= 4}
+    assert want and got == want
+
+
+def test_near_dup_generator_is_conservative_and_replayable():
+    # pure-python: frac>0 must keep captions/placement AND non-dup
+    # pixels identical to frac=0 (the dup decision draws after the
+    # row's own pixel draws); dup rows must sit within the
+    # image_dup_pairs hamming threshold of their base
+    import numpy as np
+
+    from osml10n_spark.sources.datagen import _gen_rows
+
+    a = _gen_rows(np.arange(40), 31, True, 0.0)
+    b = _gen_rows(np.arange(40), 31, True, 0.5)
+    assert (a.caption == b.caption).all()
+    assert (a.lon == b.lon).all() and (a.lat == b.lat).all()
+    changed = [i for i in range(40) if a.phash[i] != b.phash[i]]
+    assert changed                       # frac=0.5 planted dups
+    for i in changed:
+        near = min(bin((int(b.phash[i]) ^ int(b.phash[j]))
+                       & ((1 << 64) - 1)).count("1")
+                   for j in range(i))
+        assert near <= 4
 
 
 def test_embedding_similarity(spark):
