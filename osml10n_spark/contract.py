@@ -1947,33 +1947,80 @@ def q_image_dups(spark, sf_dir):
     return image_dup_pairs(imgs, max_hamming=4)
 
 
-def _image_dups_sql() -> str:
-    """Oracle for q_image_dups: (image_id, phash) ground truth from the
-    pure-python generator kernel (no Spark), banding + hamming in
-    DuckDB SQL.  Arithmetic >> plus the band mask equals Spark's
-    shiftrightunsigned (the mask discards sign-extension bits) — same
-    trick as Q_SIMHASH_PAIRS_SQL."""
-    from .imaging import phash64
-    from .sources.datagen import visual_for_id
-    vals = ", ".join(
-        f"('img_{i:012d}', {phash64(visual_for_id(4242, i, 0.15)[3])}::BIGINT)"
-        for i in range(300))
+def _banded_hamming_sql(sig_rows: list[tuple[str, int]],
+                        max_hamming: int = 4) -> str:
+    """Banding + hamming refine in DuckDB SQL over literal (id, sig64)
+    ground truth (8 8-bit bands for hamming ≤4 — mirrors
+    hash_dup_pairs defaults).  Arithmetic >> plus the band mask equals
+    Spark's shiftrightunsigned (the mask discards sign-extension bits)
+    — same trick as Q_SIMHASH_PAIRS_SQL."""
+    vals = ", ".join(f"('{i}', {s}::BIGINT)" for i, s in sig_rows)
     return f"""
-WITH sig(image_id, phash) AS (VALUES {vals}),
-banded AS (SELECT image_id, phash, band, (phash >> (8 * band)) & 255 AS bkey
+WITH sig(id, phash) AS (VALUES {vals}),
+banded AS (SELECT id, phash, band, (phash >> (8 * band)) & 255 AS bkey
            FROM sig CROSS JOIN
                 (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
-pairs AS (SELECT DISTINCT a.image_id AS a_id, b2.image_id AS b_id,
+pairs AS (SELECT DISTINCT a.id AS a_id, b2.id AS b_id,
                  a.phash AS a_sig, b2.phash AS b_sig
           FROM banded a JOIN banded b2
             ON a.band = b2.band AND a.bkey = b2.bkey
-           AND a.image_id < b2.image_id)
+           AND a.id < b2.id)
 SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
-FROM pairs WHERE bit_count(xor(a_sig, b_sig)) <= 4
+FROM pairs WHERE bit_count(xor(a_sig, b_sig)) <= {max_hamming}
 """
 
 
+def _image_dups_sql() -> str:
+    """Oracle for q_image_dups: (image_id, phash) ground truth from the
+    pure-python generator kernel (no Spark) through the shared banding
+    SQL."""
+    from .imaging import phash64
+    from .sources.datagen import visual_for_id
+    return _banded_hamming_sql(
+        [(f"img_{i:012d}", phash64(visual_for_id(4242, i, 0.15)[3]))
+         for i in range(300)])
+
+
 Q_IMAGE_DUPS_SQL = _image_dups_sql()
+
+
+def q_frame_dups(spark, sf_dir):
+    """Cross-video frame near-dup detection — the composed multimodal
+    pipeline on trial end-to-end: rawv demux + every-k frame sampling
+    (mapInPandas row-explode, Python side) feeds the banded Hamming
+    equi-join (JVM side) on per-frame phash.  The videos draw frames
+    from a shared pool with pixel perturbations
+    (datagen.videos_with_shared_frames), so sampled frames repeat
+    ACROSS videos; the oracle replays the construction driver-side and
+    re-derives banding in SQL — a wrong demux offset, frame index or
+    phash would shift pairs and break the value hash, so this upgrades
+    the previously rows-only frame-sampling surface to value-checked."""
+    from .operators.dedup import hash_dup_pairs
+    from .operators.multimodal import encode_rawv, sample_frames
+    from .sources.datagen import videos_with_shared_frames
+    vids = [(vid, encode_rawv(frames), "rawv")
+            for vid, frames in videos_with_shared_frames(77)]
+    df = spark.createDataFrame(
+        vids, "video_id string, bytes binary, fmt string")
+    frames = sample_frames(df, every_k=2).select(
+        F.concat_ws("#", "video_id", F.col("frame_idx").cast("string"))
+        .alias("frame_key"), "phash")
+    return hash_dup_pairs(frames, "frame_key", "phash", max_hamming=4)
+
+
+def _frame_dups_sql() -> str:
+    """Oracle for q_frame_dups: every-2nd frame's phash replayed from
+    the deterministic video builder, through the shared banding SQL."""
+    from .imaging import phash64
+    from .sources.datagen import videos_with_shared_frames
+    rows = []
+    for vid, frames in videos_with_shared_frames(77):
+        for idx in range(0, frames.shape[0], 2):
+            rows.append((f"{vid}#{idx}", phash64(frames[idx])))
+    return _banded_hamming_sql(rows)
+
+
+Q_FRAME_DUPS_SQL = _frame_dups_sql()
 
 
 # ------------------------------------------------------------------ registry
@@ -2042,10 +2089,12 @@ QUERIES = {
     "q_running_window": q_running_window,
     "q_translit_cyrillic": q_translit_cyrillic,
     "q_image_dups": q_image_dups,
+    "q_frame_dups": q_frame_dups,
 }
 
 ORACLES = {
     "q_image_dups": Q_IMAGE_DUPS_SQL,
+    "q_frame_dups": Q_FRAME_DUPS_SQL,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,

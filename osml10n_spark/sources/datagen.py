@@ -21,7 +21,7 @@ import pandas as pd
 from ..imaging import encode_image, phash64
 
 __all__ = ["images_schema_ddl", "generate_images", "caption_for",
-           "visual_for_id", "IMAGES_DDL"]
+           "visual_for_id", "videos_with_shared_frames", "IMAGES_DDL"]
 
 IMAGES_DDL = ("image_id string, bytes binary, w int, h int, fmt string, "
               "caption string, phash long, lon double, lat double, "
@@ -135,6 +135,38 @@ def visual_for_id(seed: int, i: int,
             pix[y, x, ch] = np.uint8(
                 (int(pix[y, x, ch]) + int(rng.integers(1, 8))) % 256)
     return w, h, fmt, pix
+
+
+def videos_with_shared_frames(seed: int, n_videos: int = 15,
+                              pool_size: int = 10, n_frames: int = 6
+                              ) -> list[tuple[str, np.ndarray]]:
+    """Deterministic test videos drawing frames from a shared pool with
+    per-use pixel perturbations — frames repeat ACROSS videos, the
+    ground truth for cross-video frame near-dup detection
+    (q_frame_dups).  Fully replayable driver-side (per-video rng keyed
+    [seed, video+1]; pool keyed [seed, 0]), so the oracle recomputes
+    every sampled frame's phash without Spark."""
+    rng = np.random.default_rng([seed, 0])
+    pool = rng.integers(0, 256, (pool_size, 8, 8, 3), dtype=np.uint8)
+    out = []
+    for v in range(n_videos):
+        rv = np.random.default_rng([seed, 1 + v])
+        idx = rv.integers(0, pool_size, n_frames)
+        frames = pool[idx].copy()
+        for f in range(n_frames):
+            # stronger deltas than visual_for_id: on an 8x8 frame each
+            # pixel IS one phash block, so these flip 0-4 bits — the
+            # hamming refine sees a real distance distribution, not
+            # just exact phash collisions
+            for _ in range(int(rv.integers(0, 4))):
+                y = int(rv.integers(8))
+                x = int(rv.integers(8))
+                ch = int(rv.integers(3))
+                frames[f, y, x, ch] = np.uint8(
+                    (int(frames[f, y, x, ch]) + int(rv.integers(16, 97)))
+                    % 256)
+        out.append((f"vid_{v:04d}", frames))
+    return out
 
 
 def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,

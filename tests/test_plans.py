@@ -137,6 +137,20 @@ def test_embedding_dups_plan_is_bucketed_not_cartesian(spark):
             or "CartesianProduct" in brute)
 
 
+def test_image_dup_pairs_plan_is_equijoin_and_pruned(spark, staged):
+    """The banded Hamming join must plan as an equi-join on (band,
+    bkey) — no cartesian / nested-loop anywhere — and the image payload
+    bytes must be pruned from the scan: at 100 TB the exchange carries
+    (id, phash), not pixels."""
+    from osml10n_spark.operators.multimodal import image_dup_pairs
+    from osml10n_spark.plans import physical_plan
+    df = image_dup_pairs(spark.read.parquet(staged))
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_column_pruned(df, ["bytes", "caption", "tags"])
+
+
 def test_knn_ring_explode_is_jvm_only(spark):
     """The static-offset k-ring explode stays entirely in the JVM: no
     Python island of any kind in the candidate-generation plan."""
