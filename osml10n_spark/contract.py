@@ -2023,6 +2023,50 @@ def _frame_dups_sql() -> str:
 Q_FRAME_DUPS_SQL = _frame_dups_sql()
 
 
+def q_audio_dups(spark, sf_dir):
+    """Near-duplicate AUDIO detection, value-checked end-to-end: real
+    RIFF/WAVE PCM16 decode (audioops.py — pure struct+numpy, no stub)
+    + per-clip energy-delta fingerprint (mapInPandas) feeding the same
+    banded Hamming equi-join as text SimHash and image phash.  Clips
+    are deterministic sine mixtures with planted near-dups (-40 dB
+    noise overlays, datagen.audio_for_id); every 7th clip is encoded
+    STEREO (duplicated channel — the mono mix must fingerprint
+    identically), and two mp3 rows prove the declared-stub drop path.
+    The oracle replays decode+fingerprint driver-side and re-derives
+    the banding in SQL."""
+    from .operators.multimodal import audio_dup_pairs
+    from .audioops import encode_wav
+    from .sources.datagen import audio_for_id
+    import numpy as np
+    rows = []
+    for i in range(60):
+        s, sr = audio_for_id(88, i, 0.25)
+        if i % 7 == 0:
+            payload = encode_wav(np.stack([s, s], axis=1), sr)
+        else:
+            payload = encode_wav(s, sr)
+        rows.append((f"aud_{i:04d}", payload, "wav"))
+    rows += [("aud_stub_0", b"\x00" * 32, "mp3"),
+             ("aud_stub_1", b"\x00" * 32, "mp3")]
+    df = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, fmt string")
+    return audio_dup_pairs(df, max_hamming=4)
+
+
+def _audio_dups_sql() -> str:
+    """Oracle for q_audio_dups: decode+fingerprint replayed driver-side
+    (wav roundtrip is bit-exact, and the stereo mono-mix equals the
+    mono source), through the shared banding SQL."""
+    from .audioops import fingerprint64
+    from .sources.datagen import audio_for_id
+    return _banded_hamming_sql(
+        [(f"aud_{i:04d}", fingerprint64(audio_for_id(88, i, 0.25)[0]))
+         for i in range(60)])
+
+
+Q_AUDIO_DUPS_SQL = _audio_dups_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2090,11 +2134,13 @@ QUERIES = {
     "q_translit_cyrillic": q_translit_cyrillic,
     "q_image_dups": q_image_dups,
     "q_frame_dups": q_frame_dups,
+    "q_audio_dups": q_audio_dups,
 }
 
 ORACLES = {
     "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_frame_dups": Q_FRAME_DUPS_SQL,
+    "q_audio_dups": Q_AUDIO_DUPS_SQL,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,

@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame, functions as F
 from ..imaging import decode_image, phash64, psnr
 
 __all__ = ["image_features", "verify_payload", "resize_images",
-           "sample_frames", "image_dup_pairs",
-           "FEATURES_DDL", "RESIZE_DDL", "FRAMES_DDL"]
+           "sample_frames", "image_dup_pairs", "audio_features",
+           "audio_dup_pairs",
+           "FEATURES_DDL", "RESIZE_DDL", "FRAMES_DDL", "AUDIO_DDL"]
 
 FEATURES_DDL = ("image_id string, fmt string, mean_r double, mean_g double, "
                 "mean_b double, brightness double, phash_check long, "
@@ -56,7 +57,8 @@ def image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
                     out.append((rid, fmt, None, None, None, None, None, False))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "mean_r",
                                              "mean_g", "mean_b", "brightness",
-                                             "phash_check", "decoded"])
+                                             "phash_check", "decoded"],
+                               dtype=object)
 
     return df.select(*cols).mapInPandas(extract, schema=FEATURES_DDL)
 
@@ -121,7 +123,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                 except NotImplementedError:
                     out.append((rid, fmt, None, None, None, None, False))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "bytes",
-                                             "w", "h", "phash", "ok"])
+                                             "w", "h", "phash", "ok"],
+                               dtype=object)
 
     return df.select(*cols).mapInPandas(work, schema=RESIZE_DDL)
 
@@ -174,7 +177,8 @@ def sample_frames(df: DataFrame, every_k: int = 2,
                     out.append((rid, idx, f.shape[1], f.shape[0],
                                 encode_image(f, "raw"), phash64(f)))
             yield pd.DataFrame(out, columns=["video_id", "frame_idx", "w",
-                                             "h", "frame_bytes", "phash"])
+                                             "h", "frame_bytes", "phash"],
+                               dtype=object)
 
     return df.select(*cols).mapInPandas(work, schema=FRAMES_DDL)
 
@@ -198,3 +202,68 @@ def image_dup_pairs(df: DataFrame, id_col: str = "image_id",
     out = hash_dup_pairs(pruned, id_col, hash_col,
                          max_hamming=max_hamming)
     return out.select(F.col("a_id"), F.col("b_id"), F.col("hamming"))
+
+
+# ------------------------------------------------------------------
+# audio payloads: real RIFF/WAVE PCM16 codec (pure struct+numpy, see
+# audioops.py); compressed formats (mp3/ogg/flac/aac) are declared
+# stubs — same policy as jpeg/png for images.
+
+AUDIO_DDL = ("audio_id string, fmt string, duration_s double, sr int, "
+             "rms double, zcr double, fingerprint long, decoded boolean")
+
+_AUDIO_STUB_FMTS = {"mp3", "ogg", "flac", "aac", "m4a", "opus"}
+
+
+def _decode_audio(data: bytes, fmt: str) -> "tuple[np.ndarray, int]":
+    from ..audioops import decode_wav
+    if fmt in _AUDIO_STUB_FMTS:
+        # STUB: sandbox has no audio codecs; the Arrow plumbing around
+        # this call is the tested surface.
+        raise NotImplementedError(f"no decoder for '{fmt}' in this sandbox")
+    return decode_wav(data)
+
+
+def audio_features(df: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Decode + per-clip stats + 64-bit energy-delta fingerprint via
+    mapInPandas (Arrow batches) — the audio leg of the multimodal
+    triangle.  Undecodable formats survive with decoded=false."""
+    from ..audioops import fingerprint64
+
+    cols = [id_col, "bytes", "fmt"]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                try:
+                    samples, sr = _decode_audio(bytes(data), fmt)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    rms = float(np.sqrt((mono * mono).mean()))
+                    zcr = float((np.signbit(mono[1:])
+                                 != np.signbit(mono[:-1])).mean())
+                    out.append((rid, fmt, samples.shape[0] / sr, sr, rms,
+                                zcr, fingerprint64(samples), True))
+                except NotImplementedError:
+                    out.append((rid, fmt, None, None, None, None, None,
+                                False))
+            yield pd.DataFrame(out, columns=["audio_id", "fmt",
+                                             "duration_s", "sr", "rms",
+                                             "zcr", "fingerprint",
+                                             "decoded"],
+                               dtype=object)
+
+    return df.select(*cols).mapInPandas(work, schema=AUDIO_DDL)
+
+
+def audio_dup_pairs(df: DataFrame, id_col: str = "audio_id",
+                    max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate audio detection: audio_features → banded Hamming
+    equi-join on the energy-delta fingerprint (same hash_dup_pairs
+    machinery as SimHash text dedup and phash image dedup; undecodable
+    rows drop out before the join).  Returns (a_id, b_id, hamming)."""
+    from .dedup import hash_dup_pairs
+    feats = audio_features(df, id_col).filter(F.col("decoded")) \
+        .select(F.col("audio_id").alias(id_col), "fingerprint")
+    return hash_dup_pairs(feats, id_col, "fingerprint",
+                          max_hamming=max_hamming)

@@ -615,3 +615,63 @@ def test_multimodal_frame_sampling(spark):
         pix = decode_image(bytes(r.frame_bytes), "raw")
         assert (pix == frames[idx]).all()
         assert r.phash == phash64(frames[idx])
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from osml10n_spark.audioops import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32767, 5000).astype(np.int16)
+    stereo = rng.integers(-32768, 32767, (5000, 2)).astype(np.int16)
+    m, sr = decode_wav(encode_wav(mono, 8000))
+    assert sr == 8000 and (m[:, 0] == mono).all()
+    s, sr2 = decode_wav(encode_wav(stereo, 44100))
+    assert sr2 == 44100 and (s == stereo).all()
+    # chunk walker must skip an interposed LIST chunk before data
+    raw = encode_wav(mono, 8000)
+    extra = struct.pack("<4sI", b"LIST", 6) + b"INFOab"
+    patched = raw[:36] + extra + raw[36:]
+    m2, _ = decode_wav(patched)
+    assert (m2[:, 0] == mono).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_audio_dup_pairs_matches_kernel_ground_truth(spark):
+    # distributed decode+fingerprint+banded join must equal the
+    # pure-python replay, with stereo-encoded clips (duplicated
+    # channel → same mono mix → same fingerprint) and declared-stub
+    # formats dropping out before the join
+    import itertools
+
+    import numpy as np
+
+    from osml10n_spark.audioops import encode_wav, fingerprint64
+    from osml10n_spark.operators.multimodal import (audio_dup_pairs,
+                                                    audio_features)
+    from osml10n_spark.sources.datagen import audio_for_id
+
+    rows, fp = [], {}
+    for i in range(30):
+        s, sr = audio_for_id(55, i, 0.3)
+        payload = encode_wav(np.stack([s, s], 1), sr) if i % 5 == 0 \
+            else encode_wav(s, sr)
+        rows.append((f"a{i:03d}", payload, "wav"))
+        fp[f"a{i:03d}"] = fingerprint64(s)
+    rows.append(("astub", b"\x00" * 16, "ogg"))
+    df = spark.createDataFrame(rows,
+                               "audio_id string, bytes binary, fmt string")
+    feats = {r.audio_id: r for r in audio_features(df).collect()}
+    assert not feats["astub"].decoded
+    assert feats["a000"].decoded and feats["a000"].fingerprint == fp["a000"]
+    assert abs(feats["a001"].duration_s - 1.0) < 1e-9
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in audio_dup_pairs(df, max_hamming=4).collect()}
+    want = {(a, b, bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1"))
+            for a, b in itertools.combinations(sorted(fp), 2)
+            if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 4}
+    assert want and got == want
