@@ -160,8 +160,15 @@ def repetition_ratio(col, n: int = 2):
     an Arrow-batched pandas UDF: a Catalyst HOF formulation
     (sequence→transform→array_distinct) measured ~11 ms/row in the
     interpreted-lambda path vs ~µs/row here, and the float chain is
-    IEEE-identical to the DuckDB oracle either way."""
-    return _make_rep_udf(n)(normalize_text(col))
+    IEEE-identical to the DuckDB oracle either way.
+
+    The UDF is deterministic in fact but MARKED nondeterministic: that
+    stops CollapseProject/PushDownPredicates from substituting the
+    aliased column into downstream filters, which duplicated the Arrow
+    island (two evaluations per kept row in curate(), measured as two
+    ArrowEvalPython nodes in the plan — tests/test_plans.py pins the
+    single-island shape)."""
+    return _make_rep_udf(n).asNondeterministic()(normalize_text(col))
 
 
 def clean_text(col):

@@ -218,3 +218,17 @@ def test_tiled_layout_prunes_partitions(spark, tmp_path_factory, staged):
     n_parts = tiled.select("cell_prefix").distinct().count()
     assert n_parts > 1
     assert q.count() == tiled.filter(F.col("cell_prefix") == one_prefix).count()
+
+
+def test_curate_core_is_single_shuffle(spark):
+    """curate()'s dedup is min_by(struct, id) under one groupBy: ONE
+    exchange total for the whole dedup+gates+lang stage (the quality
+    gates and lang-id are map-side projections, the repetition filter
+    is an Arrow island, not a shuffle).  The previous narrow-groupBy +
+    left-semi-join shape cost a second full-row shuffle."""
+    from osml10n_spark.engine.curate import curate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out, _ = curate(docs, id_col="doc_id", text_col="text",
+                    with_metrics=False)
+    assert exchange_count(out) == 1
+    assert python_eval_count(out) == 1      # the repetition Arrow island
