@@ -357,8 +357,14 @@ def q_curate_stream(spark, sf_dir):
     the SAME DuckDB oracle as q_curate — one oracle, batch and
     streaming plans.  Dedup is per-batch in the streaming twin
     (cross-batch first-occurrence dedup lives in streaming.stateful),
-    so the epoch split keys every (doc, planted-dup) pair into the same
-    file via base-id parity (+100000 preserves parity)."""
+    so the epoch split keys each (doc, +100000-planted-dup) pair into
+    the same file via base-id parity (+100000 preserves parity).  The
+    spam (+200000) and symbol (+300005) plantings are INTRA-group
+    duplicates whose members DO straddle the parity split; streaming ≡
+    batch still holds only because the quality gate drops every member
+    of those groups regardless of which batch deduped them — if their
+    texts are ever edited to pass the gate, move them onto one parity
+    side (e.g. even ids) or the oracle will mismatch confusingly."""
     import os
     import tempfile
     import uuid

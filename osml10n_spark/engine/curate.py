@@ -10,10 +10,12 @@ the driver-contract query q_curate re-derives the full latin-path
 output (dedup keep-set, quality signals, kept-row predicate, localized
 caption) in DuckDB.
 
-Plan shape at scale: ONE shuffle for the dedup groupBy(md5) + one
-broadcast-free semi join back on doc id; the quality gate and language
-profile are map-side JVM expressions; localization adds its single
-Arrow island.  Metrics ride ``df.observe`` (no extra action).
+Plan shape at scale: ONE shuffle total — the dedup is a single
+``groupBy(md5).agg(min_by(struct(row), id))`` whose partial aggregate
+collapses duplicate rows map-side BEFORE the exchange (no join back;
+tests/test_plans.py pins exchange_count == 1); the quality gate and
+language profile are map-side JVM expressions; localization adds its
+single Arrow island.  Metrics ride ``df.observe`` (no extra action).
 """
 from __future__ import annotations
 

@@ -169,12 +169,36 @@ class SnapshotStore:
         makes this the exactly-once replay filter: a crash between
         commit and the streaming checkpoint re-delivers the epoch, and
         the manifest proves it already landed)."""
+        return self.committed_epochs_since(-1)[0]
+
+    def committed_epochs_since(self, after_seq: int) -> tuple[set[int], int]:
+        """Incremental replay-filter refresh: epochs from manifests with
+        seq > ``after_seq`` only, plus the highest seq seen.  Manifest
+        filenames lead with the zero-padded seq, so older files are
+        skipped WITHOUT reading their JSON — a long-running stream's
+        per-epoch stale-committer re-validation stays O(new manifests)
+        instead of O(all epochs ever committed)."""
+        snaps_dir = os.path.join(self.root, "snapshots")
         out: set[int] = set()
-        for m in self._manifests():
-            ep = m.get("metrics", {}).get("epoch")
-            if ep is not None:
-                out.add(int(ep))
-        return out
+        max_seq = after_seq
+        if os.path.isdir(snaps_dir):
+            for fn in sorted(os.listdir(snaps_dir)):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    seq = int(fn.split("-", 1)[0])
+                except ValueError:
+                    seq = None
+                if seq is not None and seq <= after_seq:
+                    continue
+                m = self._read_manifest(os.path.join(snaps_dir, fn))
+                if m is None:
+                    continue
+                max_seq = max(max_seq, int(m.get("seq", -1)))
+                ep = m.get("metrics", {}).get("epoch")
+                if ep is not None:
+                    out.add(int(ep))
+        return out, max_seq
 
     def update_metrics(self, snapshot_id: str, metrics: dict) -> None:
         """Attach post-commit metrics (e.g. observation results that

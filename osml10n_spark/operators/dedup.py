@@ -117,10 +117,19 @@ def minhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        block_col=None) -> DataFrame:
+                        block_col=None,
+                        allow_quadratic: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.  Without a blocking
-    column this is quadratic — callers at scale pass ``block_col``
-    (e.g. a length bucket or LSH band) to bound the join."""
+    column this is an all-pairs O(n²) join, which cannot ship silently:
+    callers at scale pass ``block_col`` (e.g. a length bucket or LSH
+    band) to bound the join; small-n oracles/tests that genuinely want
+    the brute-force plan must say so with ``allow_quadratic=True`` or
+    the call raises."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an all-pairs O(n^2) "
+            "join; pass block_col (length bucket, LSH band, ...) or opt in "
+            "explicitly with allow_quadratic=True for small-n baselines")
     sh = df.select(F.col(id_col).alias("doc_id"),
                    shingles(F.col(text_col), n).alias("sh"),
                    *( [block_col.alias("blk")] if block_col is not None else []))
@@ -181,6 +190,11 @@ def hash_dup_pairs(df: DataFrame, id_col: str, hash_col: str,
     weaken blocking (a b-bit band key has only 2^b buckets — at very
     large n prefer the smallest n_bands the threshold allows, or
     pre-block by a coarse key).  Returns (a_id, b_id, hamming)."""
+    if not 0 <= max_hamming < 64:
+        # without this, max_hamming >= 64 would surface as a bare
+        # StopIteration from the divisor search below
+        raise ValueError("max_hamming must be in [0, 64) — a 64-bit "
+                         "signature cannot band a larger distance")
     if n_bands is None:
         n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64)
                        if d > max_hamming)

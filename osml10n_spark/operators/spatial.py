@@ -84,9 +84,12 @@ def knn_geo(queries: DataFrame, items: DataFrame, k: int,
 
 
 def knn_geo_bq(queries: DataFrame, items: DataFrame, k: int,
-               qid_col: str = "qid", iid_col: str = "iid") -> DataFrame:
+               qid_col: str = "qid", iid_col: str = "iid",
+               max_queries: int = 4096) -> DataFrame:
     """Brute-force kNN for a SMALL query set (broadcast-queries plan):
-    queries are collected (caller bounds the size) and closed over a
+    queries are collected (bounded IN-FUNCTION at ``max_queries`` — an
+    oversized query side raises instead of flooding the driver; the
+    limit+1 probe collects at most that many rows) and closed over a
     mapInPandas partial top-k over the items — a numpy distance matrix
     per Arrow batch keeps the k best (dist2, iid)-ordered candidates
     per query per partition, and a final exact window ranks the tiny
@@ -104,7 +107,13 @@ def knn_geo_bq(queries: DataFrame, items: DataFrame, k: int,
     import pandas as pd
 
     qrows = queries.select(F.col(qid_col).alias("qid"),
-                           F.col("lon"), F.col("lat")).collect()
+                           F.col("lon"), F.col("lat")) \
+        .limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_geo_bq collects the query side onto the driver: got "
+            f"> {max_queries} queries; raise max_queries deliberately or "
+            f"use knn_cells/knn_geo for large query sets")
     if not qrows:
         empty = items.sparkSession.createDataFrame(
             [], schema=f"qid {queries.schema[qid_col].dataType.simpleString()}, "

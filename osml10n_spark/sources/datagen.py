@@ -118,7 +118,11 @@ def visual_for_id(seed: int, i: int,
 
     A dup row copies a base image and perturbs 1–3 pixel channels by
     ≤7/255 — visually near-identical, so its mean-threshold phash lands
-    within a few bits of the base (the image_dup_pairs test surface)."""
+    within a few bits of the base (the image_dup_pairs test surface).
+    The delta's sign flips instead of wrapping when a channel would
+    overflow 255, so a near-255 channel moves by the same small
+    magnitude rather than wrapping to ~0 (which would be a large visual
+    jump contradicting the near-dup intent)."""
     rng = np.random.default_rng([seed, int(i)])
     caption_for(rng)                      # burn draws in generator order
     w = int(rng.integers(8, 25))
@@ -133,8 +137,10 @@ def visual_for_id(seed: int, i: int,
             y = int(rng.integers(h))
             x = int(rng.integers(w))
             ch = int(rng.integers(3))
-            pix[y, x, ch] = np.uint8(
-                (int(pix[y, x, ch]) + int(rng.integers(1, 8))) % 256)
+            delta = int(rng.integers(1, 8))
+            val = int(pix[y, x, ch])
+            pix[y, x, ch] = np.uint8(val + delta if val + delta <= 255
+                                     else val - delta)
     return w, h, fmt, pix
 
 

@@ -30,14 +30,17 @@ def localize_stream(stream_df: DataFrame, store_root: str,
     The committed-epoch cache is still re-validated against the
     manifests on every cache miss, so an epoch landed by a PREVIOUS
     incarnation (e.g. an old job that drained after this one started)
-    is detected before any double-commit; the rescan costs O(epochs)
-    json reads but only runs for epochs not yet known committed."""
+    is detected before any double-commit; the rescan is INCREMENTAL
+    (manifests with seq beyond the last scanned only, filename-filtered
+    before any JSON read), so a long-running stream's per-epoch miss
+    path stays O(new manifests), not O(all epochs ever committed)."""
     from ..engine.job import add_cell_prefix
 
     store = SnapshotStore(store_root)
-    # loaded once at stream start, appended in memory, re-validated on
-    # miss (see the concurrency contract above)
-    committed = store.committed_epochs()
+    # loaded once at stream start, appended in memory, re-validated
+    # incrementally on miss (see the concurrency contract above)
+    committed, seq0 = store.committed_epochs_since(-1)
+    scanned = {"seq": seq0}
 
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
@@ -47,9 +50,10 @@ def localize_stream(stream_df: DataFrame, store_root: str,
         # (written last = the commit point) proves it already landed
         if int(epoch_id) in committed:
             return
-        # cache miss → rescan manifests once before committing, in case
-        # another (stale) committer landed this epoch after we started
-        committed.update(store.committed_epochs())
+        # cache miss → scan only manifests NEWER than the last scan, in
+        # case another (stale) committer landed this epoch after it
+        new, scanned["seq"] = store.committed_epochs_since(scanned["seq"])
+        committed.update(new)
         if int(epoch_id) in committed:
             return
         staged = add_cell_prefix(batch_df)
@@ -77,14 +81,16 @@ def curate_stream(stream_df: DataFrame, store_root: str,
     from ..engine.curate import curate
 
     store = SnapshotStore(store_root)
-    committed = store.committed_epochs()
+    committed, seq0 = store.committed_epochs_since(-1)
+    scanned = {"seq": seq0}
 
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
         if int(epoch_id) in committed:
             return
-        committed.update(store.committed_epochs())
+        new, scanned["seq"] = store.committed_epochs_since(scanned["seq"])
+        committed.update(new)
         if int(epoch_id) in committed:
             return
         out, _ = curate(batch_df, with_metrics=False, **curate_kwargs)

@@ -153,9 +153,41 @@ def test_minhash_and_jaccard(spark):
     assert (1, 2) in pairs and (3, 4) in pairs
     assert (1, 3) not in pairs
     jac = {(r.a_id, r.b_id): r.jaccard
-           for r in ngram_jaccard_pairs(df, "doc_id", "text",
-                                        threshold=0.5).collect()}
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                        allow_quadratic=True).collect()}
     assert jac[(1, 2)] > 0.7
+
+
+def test_ngram_jaccard_unblocked_raises(spark):
+    """The documented-quadratic path can't ship silently: no block_col
+    and no explicit opt-in → ValueError before any plan is built."""
+    import pytest
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="block_col"):
+        ngram_jaccard_pairs(df, "doc_id", "text")
+
+
+def test_hash_dup_pairs_rejects_oversized_hamming(spark):
+    import pytest
+    from osml10n_spark.operators.dedup import hash_dup_pairs
+    df = spark.createDataFrame([(1, 5)], "doc_id long, sig long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        hash_dup_pairs(df, "doc_id", "sig", max_hamming=64)
+
+
+def test_knn_geo_bq_rejects_oversized_query_side(spark):
+    """The broadcast-queries plan collects the query side — the bound
+    is enforced in-function, not trusted to the caller."""
+    import pytest
+    from osml10n_spark.operators.spatial import knn_geo_bq
+    q = spark.range(20).selectExpr("id AS qid", "CAST(id AS double) AS lon",
+                                   "CAST(id AS double) AS lat")
+    items = spark.range(5).selectExpr("id AS iid", "CAST(id AS double) AS lon",
+                                      "CAST(id AS double) AS lat")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_geo_bq(q, items, 3, max_queries=10)
+    # at/under the cap the plan is unchanged
+    assert knn_geo_bq(q, items, 1, max_queries=20).count() == 20
 
 
 def test_simhash_pairs(spark):

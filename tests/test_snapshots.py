@@ -255,3 +255,27 @@ def test_streaming_curate(spark, tmp_path):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert all(i < 100 for i in ids)        # every spam row gated out
     assert len(ids) == 40                   # all clean rows kept, no dups
+
+
+def test_committed_epochs_since_incremental_scan(spark, tmp_path):
+    """The streaming replay filter's miss-path refresh reads only
+    manifests NEWER than the last scanned seq (filename-filtered), and
+    composes to the same set as the full scan."""
+    from osml10n_spark.engine.job import add_cell_prefix
+    from osml10n_spark.sources.datagen import generate_images
+
+    root = str(tmp_path / "snap_inc")
+    store = SnapshotStore(root)
+    batch = add_cell_prefix(generate_images(spark, 10, seed=5,
+                                            with_images=False))
+    store.commit(batch, [0], metrics={"epoch": 0})
+    store.commit(batch, [1], metrics={"epoch": 1})
+    eps, seq = store.committed_epochs_since(-1)
+    assert eps == {0, 1} and seq == 1
+    # no new manifests → empty delta, cursor unchanged
+    assert store.committed_epochs_since(seq) == (set(), seq)
+    store.commit(batch, [2], metrics={"epoch": 7})
+    new, seq2 = store.committed_epochs_since(seq)
+    assert new == {7} and seq2 == 2
+    # full scan still sees everything (compat surface)
+    assert store.committed_epochs() == {0, 1, 7}
