@@ -1751,6 +1751,75 @@ def _ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
                     (F.col("hits") / float(k)).alias("recall")))
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup pairs → transitive CLUSTERS → survivor per cluster
+    (dup_components): the pairs→keep-set completion a production corpus
+    dedup ships.  The corpus is synthesized so duplicate CHAINS exist
+    (A~B and B~C at hamming ≤3, but A≁C at hamming 6 — connected
+    components must still merge all three): per base doc ``g`` < 60,
+    1–3 member signatures share a repetition-coded group base (each
+    group bit spread over 4 signature bits ⇒ inter-group hamming ≥4 >
+    threshold, provably no cross-group pairs) plus chain patterns
+    0b000000/0b000111/0b111111 in the low bits.  Pairs come from the
+    banded-Hamming equi-join (hash_dup_pairs), components from the
+    pointer-jumping min-label propagation; the oracle re-derives pairs
+    by brute-force bit_count(xor) and closes them with a recursive CTE.
+    Singleton nodes (no pair) come back as their own surviving
+    component via the ``nodes=`` corpus id set."""
+    from .operators.dedup import dup_components, hash_dup_pairs
+    g = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("g")) \
+        .filter(F.col("g") < 60)
+    mem = (g.select("g", F.lit(0).alias("j"))
+           .unionAll(g.filter(F.col("g") % 3 >= 1)
+                     .select("g", F.lit(1).alias("j")))
+           .unionAll(g.filter(F.col("g") % 3 == 2)
+                     .select("g", F.lit(2).alias("j"))))
+    base = F.lit(0).cast("long")
+    for i in range(6):
+        base = base + (F.shiftright(F.col("g"), i).bitwiseAND(F.lit(1))
+                       .cast("long") * F.lit(15 * (1 << (8 + 4 * i))))
+    pat = F.element_at(F.array(F.lit(0), F.lit(7), F.lit(63)),
+                       F.col("j") + 1).cast("long")
+    nodes = mem.select((F.col("g") * 10 + F.col("j")).alias("doc_id"),
+                       (base + pat).alias("sig"))
+    pairs = hash_dup_pairs(nodes, "doc_id", "sig", max_hamming=3)
+    comps = dup_components(pairs, nodes=nodes.select("doc_id"))
+    return comps.orderBy("doc_id")
+
+
+Q_DUP_COMPONENTS_SQL = """
+WITH RECURSIVE g AS (SELECT doc_id AS g FROM documents WHERE doc_id < 60),
+mem AS (
+  SELECT g, 0 AS j FROM g
+  UNION ALL SELECT g, 1 FROM g WHERE g % 3 >= 1
+  UNION ALL SELECT g, 2 FROM g WHERE g % 3 = 2),
+nodes AS (
+  SELECT g*10 + j AS doc_id,
+    (((g >> 0) & 1) * 3840 + ((g >> 1) & 1) * 61440
+     + ((g >> 2) & 1) * 983040 + ((g >> 3) & 1) * 15728640
+     + ((g >> 4) & 1) * 251658240 + ((g >> 5) & 1) * 4026531840
+     + CASE j WHEN 0 THEN 0 WHEN 1 THEN 7 ELSE 63 END)::BIGINT AS sig
+  FROM mem),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM nodes a JOIN nodes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT n.doc_id,
+  LEAST(n.doc_id, COALESCE(MIN(r.d), n.doc_id)) AS component_id,
+  n.doc_id = LEAST(n.doc_id, COALESCE(MIN(r.d), n.doc_id)) AS is_survivor
+FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
+GROUP BY n.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN with measured per-query recall against
     the exact cosine top-k (computed in the same job).  FP hyperplane
@@ -2141,9 +2210,11 @@ QUERIES = {
     "q_image_dups": q_image_dups,
     "q_frame_dups": q_frame_dups,
     "q_audio_dups": q_audio_dups,
+    "q_dup_components": q_dup_components,
 }
 
 ORACLES = {
+    "q_dup_components": Q_DUP_COMPONENTS_SQL,
     "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_frame_dups": Q_FRAME_DUPS_SQL,
     "q_audio_dups": Q_AUDIO_DUPS_SQL,

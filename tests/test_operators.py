@@ -190,6 +190,44 @@ def test_knn_geo_bq_rejects_oversized_query_side(spark):
     assert knn_geo_bq(q, items, 1, max_queries=20).count() == 20
 
 
+def test_dup_components_chained_and_singletons(spark):
+    """Pairs→clusters→survivor: a chain A~B~C (A≁C direct) collapses
+    into ONE component keyed by the min id; nodes in no pair come back
+    as surviving singletons; string ids work (lexicographic min)."""
+    from osml10n_spark.operators.dedup import dup_components
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12),            # chain
+         (30, 31),                      # plain pair
+         (12, 13)],                     # extends the chain
+        "a_id long, b_id long")
+    nodes = spark.createDataFrame([(i,) for i in (10, 11, 12, 13, 30, 31, 77)],
+                                  "doc_id long")
+    got = {r.doc_id: (r.component_id, r.is_survivor)
+           for r in dup_components(pairs, nodes=nodes).collect()}
+    assert got == {10: (10, True), 11: (10, False), 12: (10, False),
+                   13: (10, False), 30: (30, True), 31: (30, False),
+                   77: (77, True)}
+    s = spark.createDataFrame([("b", "c"), ("a", "b")],
+                              "a_id string, b_id string")
+    comp = {r.doc_id: r.component_id for r in dup_components(s).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_dup_components_long_path_converges_fast(spark):
+    """Pointer jumping: a diameter-40 path converges (≪ 40 rounds), and
+    an artificially tiny round budget raises instead of returning a
+    partial merge."""
+    import pytest
+    from osml10n_spark.operators.dedup import dup_components
+    p = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                              "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_components(p, max_iters=2)
+    out = dup_components(p, max_iters=10)   # log-bounded: 10 ≫ log2(41)
+    assert out.filter("component_id = 0").count() == 41
+    assert out.filter("is_survivor").count() == 1
+
+
 def test_simhash_pairs(spark):
     # one changed token in 20 → hamming 3 under the md5-nibble hash;
     # the 4-band pigeonhole guarantees recall only for hamming ≤ 3,

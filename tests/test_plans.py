@@ -232,3 +232,22 @@ def test_curate_core_is_single_shuffle(spark):
                     with_metrics=False)
     assert exchange_count(out) == 1
     assert python_eval_count(out) == 1      # the repetition Arrow island
+
+
+def test_dup_components_round_is_equi_join_only(spark):
+    """One connected-components round (neighbor-min + pointer jump)
+    must plan as hash/sort-merge equi-joins — no CartesianProduct, no
+    BroadcastNestedLoopJoin (the self-join ambiguity that would turn
+    the jump into a trivially-true cross join is the regression this
+    pins)."""
+    from osml10n_spark.operators.dedup import _cc_round
+    from osml10n_spark.plans.inspect import physical_plan
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                  "a_id long, b_id long")
+    edges = (pairs.selectExpr("a_id AS src", "b_id AS dst")
+             .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst")))
+    labels = edges.selectExpr("src AS id").distinct() \
+        .selectExpr("id", "id AS comp")
+    plan = physical_plan(_cc_round(edges, labels), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
