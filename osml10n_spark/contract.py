@@ -1116,10 +1116,13 @@ def q_payload_audit(spark, sf_dir):
     rows must come back ok=true; PSNR≥40dB is separately pytest-gated.
     ``ok_frac`` is the in-query self-check (expected 1.0 on every row)
     so the gate record carries the invariant VALUE, not just a count
-    (whole-frame window: fine at gate scale, 300 rows)."""
+    (whole-frame window: fine at gate scale, 300 rows).  Every 4th row
+    is re-containered as REAL PNG (zlib/CRC/filter codec) — its ok
+    flag demands decoded-phash equality like any lossless format, so
+    the spec codec is value-audited in-gate, not just pytest-gated."""
     from .operators.multimodal import verify_payload
     from .sources.datagen import generate_images
-    imgs = generate_images(spark, 300, seed=7)
+    imgs = generate_images(spark, 300, seed=7, png_every=4)
     w = Window.partitionBy(F.lit(1))
     return verify_payload(imgs).select(
         "image_id", "fmt", "ok",
@@ -2066,7 +2069,7 @@ def q_image_features(spark, sf_dir):
     decodes) and ``stats_ok`` (decoded brightness lands in [0, 255])."""
     from .operators.multimodal import image_features
     from .sources.datagen import generate_images
-    imgs = generate_images(spark, 300, seed=7)
+    imgs = generate_images(spark, 300, seed=7, png_every=4)
     w = Window.partitionBy(F.lit(1))
     stats_ok = F.when(F.col("decoded"),
                       (F.col("brightness") >= 0)

@@ -8,6 +8,11 @@ Formats (all self-contained, no PIL in the sandbox):
   to 6 bits (deterministic); decode dequantizes to mid-bin. Max error
   per sample is 2 (of 255) → PSNR ≈ 20*log10(255/~1.1) ≫ 40 dB, so the
   pipeline invariant is measurable and non-trivial.
+- ``png``   : REAL spec-conformant PNG, 8-bit truecolor (color type
+  2): signature + CRC-checked chunk walk, zlib IDAT, and full
+  scanline unfiltering (all five filter types 0–4 incl. Paeth — the
+  encoder emits filter 0, the decoder inverts any conformant stream).
+  Pure stdlib zlib + numpy, lossless.
 
 phash: 64-bit perceptual hash (8×8 mean-threshold of the grayscale
 image, row-major bits) — deterministic, numpy-only.
@@ -15,6 +20,7 @@ image, row-major bits) — deterministic, numpy-only.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -83,8 +89,102 @@ def _decode_jpegq(data: bytes) -> np.ndarray:
     return np.clip(deq, 0, 255).astype(np.uint8)
 
 
-_ENCODERS = {"bmp": _encode_bmp, "raw": _encode_raw, "jpegq": _encode_jpegq}
-_DECODERS = {"bmp": _decode_bmp, "raw": _decode_raw, "jpegq": _decode_jpegq}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def _encode_png(pix: np.ndarray) -> bytes:
+    """8-bit truecolor PNG (color type 2), filter 0 on every scanline."""
+    h, w, _ = pix.shape
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Chunk-walking PNG decoder for 8-bit truecolor, no interlace:
+    CRC-verified chunks, concatenated IDAT inflate, and the full filter
+    inverse (None/Sub/Up/Average/Paeth) per scanline."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced "
+                                 "PNG supported")
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=y * (stride + 1) + 1)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:                       # Up — vectorized
+            out[y] = line + prev
+        elif f == 1:                       # Sub — sequential in x
+            cur = out[y]
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, stride):
+                cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 3:                       # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                       # Paeth
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) \
+                    & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.reshape(h, w, 3).copy()
+
+
+_ENCODERS = {"bmp": _encode_bmp, "raw": _encode_raw, "jpegq": _encode_jpegq,
+             "png": _encode_png}
+_DECODERS = {"bmp": _decode_bmp, "raw": _decode_raw, "jpegq": _decode_jpegq,
+             "png": _decode_png}
 
 
 def encode_image(pix: np.ndarray, fmt: str) -> bytes:

@@ -27,7 +27,10 @@ FEATURES_DDL = ("image_id string, fmt string, mean_r double, mean_g double, "
                 "mean_b double, brightness double, phash_check long, "
                 "decoded boolean")
 
-_REAL_WORLD_FMTS = {"jpeg", "jpg", "png", "webp", "gif", "mp3", "wav", "mp4"}
+_REAL_WORLD_FMTS = {"jpeg", "jpg", "webp", "gif", "mp3", "wav", "mp4"}
+# png left this set in round 4: imaging.py now ships a real
+# spec-conformant PNG codec (zlib IDAT, CRC chunk walk, all 5 scanline
+# filters) — like wav before it (audioops), another stub became real
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:

@@ -206,13 +206,20 @@ def audio_for_id(seed: int, i: int,
 
 
 def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,
-              near_dup_frac: float = 0.0) -> pd.DataFrame:
+              near_dup_frac: float = 0.0,
+              png_every: int | None = None) -> pd.DataFrame:
     rows = []
     for i in ids:
         rng = np.random.default_rng([seed, int(i)])
         cap, tags, lon, lat = caption_for(rng)
         if with_images:
             w, h, fmt, pix = visual_for_id(seed, int(i), near_dup_frac)
+            # png re-encode keyed on the row ID, not an rng draw, so
+            # the draw sequence (and every non-png row) stays
+            # byte-identical to png_every=None datasets; the pixels
+            # (and hence phash) are unchanged — only the container is
+            if png_every and int(i) % png_every == 0:
+                fmt = "png"
             data = encode_image(pix, fmt)
             ph = phash64(pix)
         else:
@@ -227,11 +234,15 @@ def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,
 
 def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
                     partitions: int | None = None,
-                    near_dup_frac: float = 0.0):
+                    near_dup_frac: float = 0.0,
+                    png_every: int | None = None):
     """Distributed deterministic generation of the input table.
     ``near_dup_frac`` > 0 makes that fraction of images slight
     perturbations of earlier images (see visual_for_id) for the
-    near-duplicate-image detection surface."""
+    near-duplicate-image detection surface.  ``png_every=k`` re-encodes
+    every k-th row's pixels as real PNG (same pixels/phash, different
+    container) — exercises the spec-conformant zlib codec path without
+    perturbing any other row."""
     if partitions is None:
         partitions = max(int(spark.sparkContext.defaultParallelism), 4)
     rng_rows = spark.range(0, n, 1, partitions)
@@ -239,6 +250,6 @@ def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _gen_rows(pdf["id"].to_numpy(), seed, with_images,
-                            near_dup_frac)
+                            near_dup_frac, png_every)
 
     return rng_rows.mapInPandas(gen, schema=IMAGES_DDL)

@@ -109,3 +109,81 @@ def test_localize_language_matrix(spark, images, target, street):
         if exp != r.caption_l10n:
             bad.append((r.image_id, r.caption_l10n, exp))
     assert not bad, bad[:5]
+
+
+def test_png_codec_roundtrip_and_filter_inversion():
+    """Real PNG codec: filter-0 encode roundtrips byte-exact; the
+    decoder inverts ALL five scanline filters (a conformant stream
+    built by forward-filtering each type); CRC corruption raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from osml10n_spark.imaging import (_paeth, _PNG_SIG, _png_chunk,
+                                       decode_image, encode_image)
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    enc = encode_image(pix, "png")
+    assert np.array_equal(decode_image(enc, "png"), pix)
+
+    def forward_filter(img, ftypes):
+        h, w, _ = img.shape
+        stride, bpp = w * 3, 3
+        flat = img.reshape(h, stride).astype(int)
+        out = b""
+        for y in range(h):
+            f = ftypes[y % len(ftypes)]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=int)
+            cur = flat[y]
+            line = np.zeros(stride, dtype=int)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                pred = (0 if f == 0 else left if f == 1
+                        else prev[x] if f == 2
+                        else (left + prev[x]) >> 1 if f == 3
+                        else _paeth(left, prev[x], ul))
+                line[x] = (cur[x] - pred) & 0xFF
+            out += bytes([f]) + bytes(line.astype(np.uint8))
+        return out
+
+    h, w = 11, 9
+    pix2 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = forward_filter(pix2, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    stream = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+              + _png_chunk(b"IDAT", zlib.compress(raw))
+              + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_image(stream, "png"), pix2)
+
+    bad = bytearray(enc)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(bad), "png")
+
+
+def test_generate_images_png_every_preserves_pixels(spark):
+    """png_every re-containers every k-th row as real PNG without
+    touching pixels: phash column unchanged vs the default corpus, and
+    the png payload decodes back to the identical pixel array."""
+    import numpy as np
+
+    from osml10n_spark.imaging import decode_image, phash64
+    from osml10n_spark.sources.datagen import generate_images
+    base = {r.image_id: (r.fmt, r.phash)
+            for r in generate_images(spark, 40, seed=7).collect()}
+    rows = generate_images(spark, 40, seed=7, png_every=4).collect()
+    n_png = 0
+    for r in rows:
+        assert r.phash == base[r.image_id][1]     # pixels untouched
+        if int(r.image_id.split("_")[1]) % 4 == 0:
+            assert r.fmt == "png"
+            n_png += 1
+            pix = decode_image(bytes(r.bytes), "png")
+            assert phash64(pix) == r.phash
+            assert (pix.shape[1], pix.shape[0]) == (r.w, r.h)
+        else:
+            assert r.fmt == base[r.image_id][0]   # container untouched
+    assert n_png == 10
