@@ -286,13 +286,31 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
 
     ring = initial_ring
     if ring is None:
-        occ = items_c.agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("i_cell").alias("c")).collect()[0]
-        avg = occ.n / max(occ.c, 1)
+        # ONE job: per-cell histogram → mean + dispersion of occupancy
+        # (it also warms the items_c cache the round reuses).  The mean
+        # sizes the ring so a MEAN-density neighborhood holds ≥4k
+        # candidates; when occupancy is highly dispersed (cv > 1 —
+        # hotspot corpora like the Tokyo cell) the mean OVERSTATES what
+        # sparse-region queries will see, so +1 over-provisions their
+        # neighborhoods and the round-2/brute-force residue those few
+        # queries would otherwise trigger (a whole extra job chain for
+        # a handful of stragglers) never runs.  (A/B-ed and REJECTED:
+        # folding this aggregate into round 1 as a broadcast scalar
+        # subquery — the broadcast subtree executes before items_c is
+        # cached, so the histogram recomputes against raw input and the
+        # "saved" job comes back as an eager broadcast build; measured
+        # min-of-6 regressed 4.5s → 6.7s.)
+        occ = (items_c.groupBy("i_cell").agg(F.count("*").alias("cn"))
+               .agg(F.sum("cn").alias("n"), F.count("*").alias("c"),
+                    F.stddev_pop("cn").alias("sd")).collect()[0])
+        avg = (occ.n or 0) / max(occ.c, 1) or 1.0
         ring = 1
         while (2 * ring + 1) ** 2 * avg < 4.0 * k and ring < 8:
             ring += 1
+        if (occ.sd or 0.0) > avg:
+            ring += 1
+    pending = pending.withColumn("ring", F.lit(ring))
+    cur_max_ring = ring           # driver-tracked bound → static offsets
 
     MAX_RING = 24                          # beyond this → brute force
     # below this many pending queries another cell round costs more in
@@ -303,16 +321,31 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     round_results: list[DataFrame] = []
     stragglers: list[DataFrame] = []
     defer_unpersist: list[DataFrame] = []
-    pending = pending.withColumn("ring", F.lit(ring)).persist()
+    pending = pending.persist()
     n_pending = None
     n_strag_total = 0
-    cur_max_ring = ring           # driver-tracked bound → static offsets
     guard = (F.col("ring") * cell_h) ** 2
     for rnd in range(max_rounds):
         ring_cells = _ring_cells_df(pending, res, cur_max_ring)
+        # project to the 4 columns the window actually consumes BEFORE
+        # the qid exchange: scored is persisted below, and a cache
+        # materializes every column of its schema, so without this
+        # select the shuffle would carry the join's full row (both
+        # coordinate pairs + 2 cell ids ≈ 80 B/row instead of ~30) —
+        # Catalyst cannot prune through the persist boundary.  (A/B-ed
+        # and REJECTED: a per-query radius pre-prune that broadcasts the
+        # cell histogram onto the ring cells and keeps only candidates
+        # within r_q = R·sqrt(8k/n_q) — provably exact when ≥k survive —
+        # cut the window input 9.4M→3.5M on the clustered sf0.1 corpus
+        # but its own broadcast+join bookkeeping cost more than the
+        # smaller sort saved (stat job 2.3s→3.9s) and pushed ~1% of
+        # queries into an extra round; at this scale candidate
+        # GENERATION, not the qid exchange, is the floor.)
         cand = (ring_cells.join(items_c, ring_cells.n_cell == items_c.i_cell)
-                .withColumn("dist2", _sq_dist(F.col("q_lon"), F.col("q_lat"),
-                                              F.col("i_lon"), F.col("i_lat"))))
+                .select(F.col("qid"), F.col("iid"), F.col("ring"),
+                        _sq_dist(F.col("q_lon"), F.col("q_lat"),
+                                 F.col("i_lon"), F.col("i_lat"))
+                        .alias("dist2")))
         # ONE shuffle by qid serves rank, per-query count and kth: the
         # unordered window reuses the rank window's partitioning (no
         # extra exchange, no separate groupBy+join-back, no broadcast)
