@@ -113,7 +113,9 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     concurrent cores on this sandbox VM.
 
     Two phases, each made of matched repeats (both levels of a pair run
-    back-to-back in one host-burstiness window, fresh JVM each):
+    back-to-back in one host-burstiness window, fresh JVM each, the
+    within-window order alternating (N,4N)/(4N,N) between repeats so
+    within-window host heating cancels in the median):
     phase 1 runs ALL the headline-pair (N, 4N) repeats while the host
     is coolest; phase 2 runs the top-level (16N) repeats afterward —
     the top level's bandwidth-saturating runs heat the host for
@@ -141,11 +143,17 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     # of a pair still run back-to-back inside one window.
     lo_c, hi_c = core_levels[0], core_levels[1] if len(core_levels) > 1 \
         else core_levels[0]
-    for _rep in range(6):
-        # budget guard: stop adding pair repeats after ~7 min (keep >=3)
-        if _rep >= 3 and time.time() - t_scale > 420:
+    for _rep in range(9):
+        # budget guard: stop adding pair repeats after ~9.5 min (keep >=5)
+        if _rep >= 5 and time.time() - t_scale > 560:
             break
-        for cores in (lo_c, hi_c):
+        # alternate the within-window order (lo,hi)/(hi,lo): the host
+        # heats DURING a window, so whichever level runs second sees a
+        # hotter machine — a fixed order turns that heating into a
+        # systematic ratio bias, alternation makes it cancel in the
+        # median across windows
+        order = (lo_c, hi_c) if _rep % 2 == 0 else (hi_c, lo_c)
+        for cores in order:
             res = _run_scaling_worker(cores, staged_scale, _rep)
             samples[cores].append(res["rps"])
             if cores not in scaling or res["rps"] > scaling[cores]["rps"]:
@@ -161,7 +169,10 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     # sample stays a matched window; raw pre-retry runs are published.
     raw_runs = {c: [round(x, 1) for x in samples[c]] for c in (lo_c, hi_c)}
     retried: list[int] = []
-    BAND = 0.7
+    BAND = 0.88        # widened from 0.7 (round-3 verdict): the 0.726 /
+    # 0.741 windows of the r3 record sat 10-15% off their level medians
+    # and were measurement artifacts, not engine behavior — a ±12% band
+    # catches them while the direction-neutral rule keeps it unbiased
 
     def _outlier(level: int, r: int) -> bool:
         med = statistics.median(samples[level])
@@ -169,14 +180,14 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
         return v < BAND * med or v > med / BAND
 
     for r in range(len(samples[hi_c])):
-        if len(retried) >= 3 or time.time() - t_scale > 840:
+        if len(retried) >= 4 or time.time() - t_scale > 1100:
             break
         if _outlier(lo_c, r) or _outlier(hi_c, r):
-            a = _run_scaling_worker(lo_c, staged_scale, 100 + r)
-            b = _run_scaling_worker(hi_c, staged_scale, 100 + r)
-            samples[lo_c][r] = a["rps"]
-            samples[hi_c][r] = b["rps"]
-            for cores, res in ((lo_c, a), (hi_c, b)):
+            order = ((lo_c, hi_c) if r % 2 == 0 else (hi_c, lo_c))
+            res_by_core = {c: _run_scaling_worker(c, staged_scale, 100 + r)
+                           for c in order}
+            for cores, res in res_by_core.items():
+                samples[cores][r] = res["rps"]
                 if res["rps"] > scaling[cores]["rps"]:
                     scaling[cores] = res
             retried.append(r)
@@ -190,7 +201,7 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     top_c = core_levels[2] if len(core_levels) > 2 else None
     if top_c is not None:
         for _rep in range(3):
-            if _rep and time.time() - t_scale > 900:
+            if _rep and time.time() - t_scale > 1500:
                 break
             h = _run_scaling_worker(hi_c, staged_scale, 200 + _rep)
             t = _run_scaling_worker(top_c, staged_scale, 200 + _rep)
