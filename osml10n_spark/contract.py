@@ -2219,6 +2219,75 @@ def _audio_dups_sql() -> str:
 Q_AUDIO_DUPS_SQL = _audio_dups_sql()
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (corpus-shaping): per-language
+    keep-rates decided by an md5 hash gate on doc_id — replayable
+    across engines/reruns/layouts, zero shuffles (pure filter).  The
+    oracle re-derives the identical gate in DuckDB: fixed-width
+    lowercase hex compares identically as string in both engines."""
+    from .operators.sampling import sample_stratified
+    d = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        d.select("doc_id", "lang"), id_col="doc_id", strata_col="lang",
+        rates={"en": 0.8, "de": 0.5}, default_rate=0.25, salt="r4")
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8) <
+  CASE lang WHEN 'de' THEN '80000000'
+            WHEN 'en' THEN 'cccccccc'
+            ELSE '40000000' END
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: documents laid out per-language in
+    doc_id order; a document's shard is the budget-cut its START offset
+    falls in (contiguous-token-stream semantics).  One window shuffle
+    on the pack group; oracle is the identical SQL window."""
+    from .operators.sampling import pack_shards
+    d = _t(spark, sf_dir, "documents")
+    return pack_shards(d.select("doc_id", "lang", "n_chars"),
+                       id_col="doc_id", weight_col="n_chars",
+                       budget=4096, group_col="lang")
+
+
+Q_PACK_SHARDS_SQL = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_chars AS BIGINT) AS start_offset
+  FROM documents)
+SELECT doc_id, lang, n_chars, start_offset,
+  CAST(FLOOR(start_offset / 4096.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+def q_quantile_gate(spark, sf_dir):
+    """Per-group quantile calibration: each document gated against ITS
+    language's exact interpolating median of n_chars (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, already parity-proven by
+    q_percentiles).  One tiny aggregation broadcast back — the corpus
+    itself is not reshuffled."""
+    from .operators.sampling import quantile_gate
+    d = _t(spark, sf_dir, "documents")
+    return quantile_gate(d.select("doc_id", "lang", "n_chars"),
+                         score_col="n_chars", by_col="lang", q=0.5)
+
+
+Q_QUANTILE_GATE_SQL = """
+WITH th AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS threshold
+  FROM documents GROUP BY lang)
+SELECT d.lang, d.doc_id, d.n_chars, th.threshold,
+       d.n_chars >= th.threshold AS keep
+FROM documents d JOIN th USING (lang)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2288,10 +2357,16 @@ QUERIES = {
     "q_frame_dups": q_frame_dups,
     "q_audio_dups": q_audio_dups,
     "q_dup_components": q_dup_components,
+    "q_stratified_sample": q_stratified_sample,
+    "q_pack_shards": q_pack_shards,
+    "q_quantile_gate": q_quantile_gate,
 }
 
 ORACLES = {
     "q_dup_components": Q_DUP_COMPONENTS_SQL,
+    "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "q_pack_shards": Q_PACK_SHARDS_SQL,
+    "q_quantile_gate": Q_QUANTILE_GATE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_image_dups": Q_IMAGE_DUPS_SQL,

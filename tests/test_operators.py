@@ -745,3 +745,71 @@ def test_audio_dup_pairs_matches_kernel_ground_truth(spark):
             for a, b in itertools.combinations(sorted(fp), 2)
             if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 4}
     assert want and got == want
+
+
+def test_sample_stratified_deterministic_and_rate(spark):
+    # the md5 gate is replayable (two runs identical), respects strata
+    # rates to within binomial noise, and is a pure filter (no shuffle)
+    import hashlib
+
+    from osml10n_spark.operators.sampling import sample_stratified
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = sample_stratified(df, "id", "lang",
+                            rates={"en": 0.5, "de": 0.1}, salt="s")
+    got = {(r.id, r.lang) for r in out.collect()}
+    assert got == {(r.id, r.lang) for r in out.collect()}  # replayable
+    # python replay of the exact gate
+    def keep(i, rate):
+        h = hashlib.md5(f"{i}:s".encode()).hexdigest()[:8]
+        return h < format(min(int(rate * 2**32), 2**32 - 1), "08x")
+    want = {(i, l) for i, l in rows if keep(i, 0.5 if l == "en" else 0.1)}
+    assert got == want
+    n_en = sum(1 for _, l in got if l == "en")
+    n_de = sum(1 for _, l in got if l == "de")
+    assert abs(n_en / 2000 - 0.5) < 0.05 and abs(n_de / 1000 - 0.1) < 0.04
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_stratified_edge_rates(spark):
+    from osml10n_spark.operators.sampling import sample_stratified
+    df = spark.createDataFrame([(i, "x") for i in range(200)],
+                               "id long, lang string")
+    assert sample_stratified(df, "id", "lang", rates={"x": 1.0}).count() == 200
+    assert sample_stratified(df, "id", "lang", rates={"x": 0.0}).count() == 0
+    # unknown stratum takes default_rate
+    assert sample_stratified(df, "id", "lang", rates={"y": 1.0},
+                             default_rate=0.0).count() == 0
+    with pytest.raises(ValueError):
+        sample_stratified(df, "id", "lang", rates={"x": 1.5})
+
+
+def test_pack_shards_stream_offsets(spark):
+    from osml10n_spark.operators.sampling import pack_shards
+    rows = [(1, "a", 100), (2, "a", 50), (3, "a", 80), (4, "b", 300),
+            (5, "b", 10)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    got = {r.id: (r.start_offset, r.shard_id)
+           for r in pack_shards(df, "id", "w", budget=128,
+                                group_col="g").collect()}
+    # group a stream: offsets 0,100,150 → shards 0,0,1
+    # group b stream: offsets 0,300   → shards 0,2 (big doc keeps its
+    # start shard; next doc starts past it)
+    assert got == {1: (0, 0), 2: (100, 0), 3: (150, 1),
+                   4: (0, 0), 5: (300, 2)}
+    with pytest.raises(ValueError):
+        pack_shards(df, "id", "w", budget=0, group_col="g")
+    with pytest.warns(UserWarning):
+        pack_shards(df, "id", "w", budget=128)  # global window warns
+
+
+def test_quantile_gate_per_group_median(spark):
+    from osml10n_spark.operators.sampling import quantile_gate
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 100.0), (5, "b", 200.0)]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    out = {r.id: (r.threshold, r.keep)
+           for r in quantile_gate(df, "s", "g", q=0.5).collect()}
+    assert out[1] == (20.0, False) and out[2] == (20.0, True) \
+        and out[3] == (20.0, True)
+    assert out[4] == (150.0, False) and out[5] == (150.0, True)
