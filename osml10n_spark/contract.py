@@ -1119,7 +1119,10 @@ def q_payload_audit(spark, sf_dir):
     (whole-frame window: fine at gate scale, 300 rows).  Every 4th row
     is re-containered as REAL PNG (zlib/CRC/filter codec) — its ok
     flag demands decoded-phash equality like any lossless format, so
-    the spec codec is value-audited in-gate, not just pytest-gated."""
+    the spec codec is value-audited in-gate, not just pytest-gated.
+    FULL replay-literal oracle: DuckDB re-derives ok from
+    independently-replayed (stored phash, decoded phash) literal pairs
+    — the ok logic itself runs in SQL, not just an echo."""
     from .operators.multimodal import verify_payload
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7, png_every=4)
@@ -1932,11 +1935,12 @@ FROM r WHERE rank = 2 ORDER BY qid
 def q_image_resize(spark, sf_dir):
     """F23 multimodal resize: decode → pure-numpy bilinear → re-encode
     in the same format via mapInPandas; real-world codecs keep the
-    declared stub path (ok=false).  Pixel math isn't SQL → rows-only;
-    exactness is pytest-gated (constant/gradient PSNR invariants).
-    Self-checks: ``dims_ok`` (every decoded row resized to exactly
-    32×24), ``ok_frac`` (decode fraction; 1.0 here — the corpus is all
-    engine codecs)."""
+    declared stub path (ok=false).  FULL replay-literal oracle: the
+    resized-pixel phash per row is recomputed driver-side by the same
+    pure-python kernels (decode → bilinear → phash, no Spark) and
+    dims_ok / ok_frac are re-derived in SQL over those literals.
+    Exactness is additionally pytest-gated (constant/gradient PSNR
+    invariants)."""
     from .operators.multimodal import resize_images
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7)
@@ -1945,7 +1949,8 @@ def q_image_resize(spark, sf_dir):
                      (F.col("w") == 32) & (F.col("h") == 24)) \
         .otherwise(F.lit(True))
     return resize_images(imgs, 32, 24).select(
-        "image_id", "fmt", "w", "h", "ok", dims_ok.alias("dims_ok"),
+        "image_id", "fmt", "w", "h", "phash", "ok",
+        dims_ok.alias("dims_ok"),
         F.round(F.avg(F.col("ok").cast("double")).over(w), 4)
         .alias("ok_frac"))
 
@@ -1954,9 +1959,11 @@ def q_frame_sample(spark, sf_dir):
     """F23 multimodal frame sampling: rawv container demux + every-k-th
     frame re-encoded standalone with its phash (deterministic synthetic
     videos; a real demuxer swaps into _split_frames without touching
-    the plan).  Self-checks: ``idx_ok`` (only every-2nd frame index
-    emitted), ``dims_ok`` (frame dims match the container header),
-    ``count_ok`` (20 videos × 3 sampled frames = exactly 60 rows)."""
+    the plan).  FULL replay-literal oracle: per-frame phash literals
+    are recomputed driver-side from the identical rng(13) frame pool
+    (no Spark, no container round-trip — so the demux path is what the
+    compare exercises); idx_ok / dims_ok / count_ok re-derived in
+    SQL."""
     import numpy as np
 
     from .operators.multimodal import encode_rawv, sample_frames
@@ -2063,10 +2070,13 @@ def q_image_features(spark, sf_dir):
     """F23/multimodal: mapInPandas decode of opaque binary payloads with
     typed metadata (engine codecs; real-world fmts stubbed), per-channel
     stats + phash recomputation.  Input synthesized deterministically
-    (BASELINE.json input_hint shape) — no SQL oracle for pixel decoding;
-    integrity is separately pytest-asserted (PSNR + phash equality).
-    Self-checks: ``decoded_frac`` (1.0 — every engine-codec payload
-    decodes) and ``stats_ok`` (decoded brightness lands in [0, 255])."""
+    (BASELINE.json input_hint shape).  FULL replay-literal oracle (the
+    q_image_dups pattern): the pure-python kernels recompute brightness
+    (full-precision double) and the decoded-pixel phash per row
+    driver-side with no Spark, and DuckDB re-derives stats_ok /
+    decoded_frac from those literals — the distributed Arrow plumbing
+    (batching, dtype=object null handling, schema) is the thing on
+    trial.  PSNR is separately pytest-asserted."""
     from .operators.multimodal import image_features
     from .sources.datagen import generate_images
     imgs = generate_images(spark, 300, seed=7, png_every=4)
@@ -2075,7 +2085,7 @@ def q_image_features(spark, sf_dir):
                       (F.col("brightness") >= 0)
                       & (F.col("brightness") <= 255)).otherwise(F.lit(True))
     return image_features(imgs).select(
-        "image_id", "fmt", "decoded", "phash_check",
+        "image_id", "fmt", "decoded", "brightness", "phash_check",
         stats_ok.alias("stats_ok"),
         F.round(F.avg(F.col("decoded").cast("double")).over(w), 4)
         .alias("decoded_frac"))
@@ -2134,6 +2144,127 @@ def _image_dups_sql() -> str:
 
 
 Q_IMAGE_DUPS_SQL = _image_dups_sql()
+
+
+def _replay_images(seed: int, n: int, png_every: int | None = None):
+    """Driver-side (no Spark) replay of generate_images' per-row
+    payloads — shared ground truth for the multimodal replay-literal
+    oracles.  Returns (image_id, fmt, pixels, payload_bytes,
+    stored_phash) per row, byte-identical to what the distributed
+    generator emits (datagen._gen_rows keys the png re-container on the
+    row id, so the replay needs no rng beyond visual_for_id's)."""
+    from .imaging import encode_image, phash64
+    from .sources.datagen import visual_for_id
+    out = []
+    for i in range(n):
+        _w, _h, fmt, pix = visual_for_id(seed, i, 0.0)
+        if png_every and i % png_every == 0:
+            fmt = "png"
+        out.append((f"img_{i:012d}", fmt, pix, encode_image(pix, fmt),
+                    phash64(pix)))
+    return out
+
+
+def _image_features_sql() -> str:
+    """Oracle for q_image_features: per-row brightness (full-precision
+    double) + decoded-pixel phash replayed through the pure-python
+    kernels; stats_ok / decoded_frac re-derived in SQL.  All 300 rows
+    are engine codecs (bmp/raw/jpegq/png) so decoded is uniformly true
+    — a Spark-side decode regression flips it and breaks the hash."""
+    from .imaging import decode_image, phash64
+    rows = []
+    for rid, fmt, _pix, data, _ph in _replay_images(7, 300, png_every=4):
+        dec = decode_image(data, fmt)
+        means = dec.reshape(-1, 3).mean(axis=0)
+        # string-cast, NOT a bare decimal::DOUBLE — DuckDB parses the
+        # bare literal as DECIMAL and its decimal->double cast can be
+        # 1 ulp off the correctly-rounded value repr() round-trips to
+        rows.append(f"('{rid}', '{fmt}', CAST('{float(means.mean())!r}' "
+                    f"AS DOUBLE), {phash64(dec)}::BIGINT)")
+    vals = ",\n".join(rows)
+    return f"""
+WITH t(image_id, fmt, brightness, phash_check) AS (VALUES {vals})
+SELECT image_id, fmt, true AS decoded, brightness, phash_check,
+  (brightness >= 0 AND brightness <= 255) AS stats_ok,
+  round(avg(1.0::DOUBLE) OVER (), 4) AS decoded_frac
+FROM t
+"""
+
+
+def _payload_audit_sql() -> str:
+    """Oracle for q_payload_audit: (stored phash, decoded-pixel phash)
+    literal pairs from the replay kernels; the ok rule itself —
+    decoded AND (lossy-fmt OR phash equality) — runs in SQL."""
+    from .imaging import decode_image, phash64
+    rows = []
+    for rid, fmt, _pix, data, ph in _replay_images(7, 300, png_every=4):
+        dec_ph = phash64(decode_image(data, fmt))
+        rows.append(f"('{rid}', '{fmt}', {ph}::BIGINT, {dec_ph}::BIGINT)")
+    vals = ",\n".join(rows)
+    return f"""
+WITH t(image_id, fmt, phash, phash_check) AS (VALUES {vals}),
+o AS (SELECT image_id, fmt,
+        (fmt = 'jpegq' OR phash_check = phash) AS ok
+      FROM t)
+SELECT image_id, fmt, ok,
+  round(avg(CAST(ok AS DOUBLE)) OVER (), 4) AS ok_frac
+FROM o
+"""
+
+
+def _image_resize_sql() -> str:
+    """Oracle for q_image_resize: the resized-pixel phash per row,
+    replayed decode → bilinear → phash with the same kernels (lossy
+    jpegq rows resize their DECODED pixels, like the operator does);
+    dims_ok / ok_frac re-derived in SQL."""
+    from .imaging import decode_image, phash64
+    from .operators.multimodal import _bilinear_resize
+    rows = []
+    for rid, fmt, _pix, data, _ph in _replay_images(7, 300):
+        res = _bilinear_resize(decode_image(data, fmt), 24, 32)
+        rows.append(f"('{rid}', '{fmt}', {phash64(res)}::BIGINT)")
+    vals = ",\n".join(rows)
+    return f"""
+WITH t(image_id, fmt, phash) AS (VALUES {vals})
+SELECT image_id, fmt, 32 AS w, 24 AS h, phash, true AS ok,
+  true AS dims_ok,
+  round(avg(1.0::DOUBLE) OVER (), 4) AS ok_frac
+FROM t
+"""
+
+
+def _frame_sample_sql() -> str:
+    """Oracle for q_frame_sample: per-sampled-frame phash literals
+    recomputed from the identical rng(13) frame pool WITHOUT the rawv
+    container round-trip — so the compare value-checks the demux +
+    every-k sampling + phash path end-to-end; idx_ok / dims_ok /
+    count_ok re-derived in SQL."""
+    import numpy as np
+
+    from .imaging import phash64
+    rng = np.random.default_rng(13)
+    rows = []
+    for v in range(20):
+        frames = rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+        for idx in range(0, 6, 2):
+            f = frames[idx]
+            rows.append(f"('vid_{v}', {idx}, {f.shape[1]}, {f.shape[0]}, "
+                        f"{phash64(f)}::BIGINT)")
+    vals = ",\n".join(rows)
+    return f"""
+WITH t(video_id, frame_idx, w, h, phash) AS (VALUES {vals})
+SELECT video_id, frame_idx, w, h, phash,
+  frame_idx % 2 = 0 AS idx_ok,
+  (w = 8 AND h = 8) AS dims_ok,
+  COUNT(*) OVER () = 60 AS count_ok
+FROM t
+"""
+
+
+Q_IMAGE_FEATURES_SQL = _image_features_sql()
+Q_PAYLOAD_AUDIT_SQL = _payload_audit_sql()
+Q_IMAGE_RESIZE_SQL = _image_resize_sql()
+Q_FRAME_SAMPLE_SQL = _frame_sample_sql()
 
 
 def q_frame_dups(spark, sf_dir):
@@ -2372,6 +2503,10 @@ ORACLES = {
     "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_frame_dups": Q_FRAME_DUPS_SQL,
     "q_audio_dups": Q_AUDIO_DUPS_SQL,
+    "q_image_features": Q_IMAGE_FEATURES_SQL,
+    "q_payload_audit": Q_PAYLOAD_AUDIT_SQL,
+    "q_image_resize": Q_IMAGE_RESIZE_SQL,
+    "q_frame_sample": Q_FRAME_SAMPLE_SQL,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,
