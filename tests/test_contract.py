@@ -90,6 +90,25 @@ def test_rows_only_self_checks(spark, name):
         assert all(getattr(r, col) == 1.0 for r in rows), (name, col)
 
 
+def test_replay_images_matches_distributed_generator(spark):
+    """The replay-literal oracles (q_image_features / q_payload_audit /
+    q_image_resize) are only as good as _replay_images' fidelity to the
+    DISTRIBUTED generator — pin payload bytes, fmt and stored phash
+    byte-identical so a datagen edit can't silently desync the oracle
+    ground truth from what the Spark queries actually consume."""
+    from osml10n_spark.contract import _replay_images
+    from osml10n_spark.sources.datagen import generate_images
+    rows = {r.image_id: r
+            for r in generate_images(spark, 24, seed=7,
+                                     png_every=4).collect()}
+    rep = _replay_images(7, 24, png_every=4)
+    assert len(rep) == 24
+    for rid, fmt, _pix, data, ph in rep:
+        r = rows[rid]
+        assert (r.fmt, r.phash) == (fmt, ph), rid
+        assert bytes(r.bytes) == data, rid
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
