@@ -2047,16 +2047,31 @@ def q_cell_embedding_profile(spark, sf_dir):
     """Grouped-map (applyInPandas) per-cell embedding profile: count,
     mean norm, dominant-eigenvalue share via power iteration — the
     genuinely-iterative per-group computation built-ins can't express
-    (SURVEY §2.10); deterministic (in-group sort, fixed start vector)
-    but not SQL-derivable → rows-only.  Self-checks: ``profile_ok``
-    asserts the mathematical invariants n≥1, mean_norm>0 and
-    top_eig_share ∈ [0, 1] (the dominant eigenvalue's share of total
-    variance cannot leave the unit interval)."""
+    (SURVEY §2.10).  FULL replay-literal oracle since round 4: the
+    500-vector input is built from exact-decimal arithmetic (quarter
+    steps and x.5 lattice coordinates are exactly representable, so the
+    JVM column expressions and the numpy replay produce bit-identical
+    float64 inputs), the cell assignment replays through the
+    pure-numpy cell kernel (property-tested bit-equal to the JVM
+    expression), and the per-group power iteration replays through the
+    SAME _profile_stats function driver-side — the grouped-map
+    machinery (grouping, Arrow transport, in-group sort) is the thing
+    on trial.  ``profile_ok`` (n≥1, mean_norm>0, eig-share ∈ [0,1]) is
+    re-derived in SQL."""
     from .operators.similarity import cell_embedding_profile
-    e = _t(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", "embedding",
-        "CAST(((vec_id * 37) % 360) - 180 + 0.5 AS DOUBLE) AS lon",
-        "CAST(((vec_id * 7) % 160) - 80 + 0.5 AS DOUBLE) AS lat")
+    dim = 16
+    emb = F.array(*[
+        ((((F.col("vec_id") * 31 + 17 * j) % 7) * F.lit(0.25))
+         + F.when((F.col("vec_id") % dim) == j,
+                  F.lit(4.0)).otherwise(F.lit(0.0)))
+        for j in range(dim)]).alias("embedding")
+    e = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        (((F.col("id") * 37) % 360) - 180 + F.lit(0.5)).cast("double")
+        .alias("lon"),
+        (((F.col("id") * 7) % 160) - 80 + F.lit(0.5)).cast("double")
+        .alias("lat"),
+        emb)
     c = assign_cells(e, res=3)
     ok = ((F.col("n") >= 1) & (F.col("mean_norm") > 0)
           & (F.col("top_eig_share") >= 0)
@@ -2261,10 +2276,47 @@ FROM t
 """
 
 
+def _cell_profile_sql() -> str:
+    """Oracle for q_cell_embedding_profile: replay the exact-decimal
+    vector construction in numpy, assign cells with the pure-python
+    kernel (bit-equal to the JVM expr by property test), group, and run
+    the SAME _profile_stats per group — full-precision doubles pinned
+    as string-cast literals; profile_ok re-derived in SQL."""
+    import numpy as np
+
+    from .operators.similarity import _profile_stats
+    from .spatial.cellindex import cell_from_lonlat
+    n, dim = 500, 16
+    ids = np.arange(n, dtype=np.int64)
+    lon = (((ids * 37) % 360) - 180).astype(np.float64) + 0.5
+    lat = (((ids * 7) % 160) - 80).astype(np.float64) + 0.5
+    cells = cell_from_lonlat(lon, lat, 3)
+    emb = np.empty((n, dim), dtype=np.float64)
+    for j in range(dim):
+        emb[:, j] = (((ids * 31 + 17 * j) % 7) * 0.25
+                     + np.where(ids % dim == j, 4.0, 0.0))
+    rows = []
+    for cell in np.unique(cells):
+        mat = emb[cells == cell]          # ids ascending already
+        n_g, mean_norm, share = _profile_stats(mat)
+        rows.append(f"({int(cell)}::BIGINT, {n_g}::BIGINT, "
+                    f"CAST('{mean_norm!r}' AS DOUBLE), "
+                    f"CAST('{share!r}' AS DOUBLE))")
+    vals = ",\n".join(rows)
+    return f"""
+WITH t(cell, n, mean_norm, top_eig_share) AS (VALUES {vals})
+SELECT cell, n, mean_norm, top_eig_share,
+  (n >= 1 AND mean_norm > 0 AND top_eig_share >= 0
+   AND top_eig_share <= 1.0 + 1e-9) AS profile_ok
+FROM t
+"""
+
+
 Q_IMAGE_FEATURES_SQL = _image_features_sql()
 Q_PAYLOAD_AUDIT_SQL = _payload_audit_sql()
 Q_IMAGE_RESIZE_SQL = _image_resize_sql()
 Q_FRAME_SAMPLE_SQL = _frame_sample_sql()
+Q_CELL_PROFILE_SQL = _cell_profile_sql()
 
 
 def q_frame_dups(spark, sf_dir):
@@ -2507,6 +2559,7 @@ ORACLES = {
     "q_payload_audit": Q_PAYLOAD_AUDIT_SQL,
     "q_image_resize": Q_IMAGE_RESIZE_SQL,
     "q_frame_sample": Q_FRAME_SAMPLE_SQL,
+    "q_cell_embedding_profile": Q_CELL_PROFILE_SQL,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,

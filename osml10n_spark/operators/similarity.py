@@ -173,6 +173,32 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
             .select("qid", "iid", "cosine", "rank"))
 
 
+def _profile_stats(mat, power_iters: int = 8):
+    """Pure per-group math for cell_embedding_profile: (n, mean vector
+    norm, dominant-eigenvalue share of covariance via power iteration).
+    Module-level so the contract's replay-literal oracle runs the SAME
+    float-op sequence driver-side — any drift between the distributed
+    path and the replay breaks the gate hash instead of hiding."""
+    import numpy as np
+    n = mat.shape[0]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    centered = mat - mat.mean(axis=0, keepdims=True)
+    share = 0.0
+    if n > 1:
+        cov = centered.T @ centered / (n - 1)
+        v = np.ones(cov.shape[0])
+        for _ in range(power_iters):
+            v = cov @ v
+            nv = np.linalg.norm(v)
+            if nv == 0.0:
+                break
+            v /= nv
+        lam = float(v @ cov @ v)
+        tr = float(np.trace(cov))
+        share = lam / tr if tr > 0 else 0.0
+    return n, float(norms.mean()), share
+
+
 def cell_embedding_profile(df: DataFrame, cell_col: str = "cell_id",
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
@@ -193,26 +219,11 @@ def cell_embedding_profile(df: DataFrame, cell_col: str = "cell_id",
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-        n = mat.shape[0]
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        centered = mat - mat.mean(axis=0, keepdims=True)
-        share = 0.0
-        if n > 1:
-            cov = centered.T @ centered / (n - 1)
-            v = np.ones(cov.shape[0])
-            for _ in range(power_iters):
-                v = cov @ v
-                nv = np.linalg.norm(v)
-                if nv == 0.0:
-                    break
-                v /= nv
-            lam = float(v @ cov @ v)
-            tr = float(np.trace(cov))
-            share = lam / tr if tr > 0 else 0.0
+        n, mean_norm, share = _profile_stats(mat, power_iters)
         return pd.DataFrame({
             "cell": [pdf[cell_col].iloc[0]],
             "n": [n],
-            "mean_norm": [float(norms.mean())],
+            "mean_norm": [mean_norm],
             "top_eig_share": [share],
         })
 

@@ -62,11 +62,10 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
 
 
 # queries that emit in-query self-check columns; the pytest gate pins
-# them ALL-TRUE / 1.0.  Only q_cell_embedding_profile is still
-# rows-only in the driver gate (iterative power-iteration isn't SQL) —
-# the other four gained full replay-literal oracles in round 4, but
-# keeping the self-check pin here makes the invariant fail loudly in
-# pytest too, not just as a gate hash mismatch
+# them ALL-TRUE / 1.0.  As of round 4 ALL of these also carry full
+# replay-literal oracles (69/69 gate queries oracled — none rows-only);
+# keeping the self-check pin makes the invariant fail loudly in pytest
+# too, not just as a gate hash mismatch
 ROWS_ONLY_SELF_CHECKS = {
     "q_payload_audit": {"bool": ["ok"], "frac": ["ok_frac"]},
     "q_image_features": {"bool": ["decoded", "stats_ok"],
