@@ -434,6 +434,87 @@ WHERE gopher_pass AND rep2 <= 0.3
 """
 
 
+def q_curate_neardup(spark, sf_dir):
+    """curate(near_dup='minhash') — the full production dedup shape in
+    ONE composed pipeline: exact dedup → quality gate → LSH near-dup
+    pairs → connected-components closure → min-id survivor anti-join.
+    The corpus plants near-dup CHAINS on the real documents (doc <20:
+    variants +400000 = text||' zz' and +500000 = text||' zz zz'), so
+    base~v1 and v1~v2 pair while base~v2 may not — the closure must
+    still collapse each chain to its min id.  Every stage re-derives
+    in DuckDB: the minhash chain (q_minhash_pairs SQL), the recursive
+    CTE closure (q_dup_components SQL) and the curate gate compose into
+    one oracle."""
+    from .engine.curate import curate
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionAll(
+        d.select((F.col("doc_id") + 400000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+        .filter(F.col("doc_id") < 400020)) \
+        .unionAll(
+        d.select((F.col("doc_id") + 500000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" zz zz")).alias("text"))
+        .filter(F.col("doc_id") < 500020))
+    out, _ = curate(planted, near_dup="minhash", with_metrics=False)
+    return out.select("doc_id", F.col("quality.words").alias("words"),
+                      F.col("repetition").alias("repetition"), "lang")
+
+
+Q_CURATE_NEARDUP_SQL = rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 400000, text || ' zz'
+    FROM documents WHERE doc_id < 20
+  UNION ALL SELECT doc_id + 500000, text || ' zz zz'
+    FROM documents WHERE doc_id < 20),
+n0 AS (SELECT doc_id, text, {_NORM_SQL} AS t FROM corpus),
+k AS (SELECT md5(t) AS dk, MIN(doc_id) AS keep_id FROM n0 GROUP BY 1),
+d AS (SELECT n0.doc_id, n0.text, n0.t FROM n0
+      JOIN k ON md5(n0.t) = k.dk AND n0.doc_id = k.keep_id),
+{_gopher_sql('d')},
+q AS (SELECT doc_id, text, t, words,
+  {_GOPHER_PASS_SQL} AS gopher_pass,
+  {_rep_sql('t', 2)} AS rep2
+  FROM m),
+h AS (SELECT doc_id, t, words, gopher_pass, rep2, text,
+  {_LANG_HITS_SQL}
+  FROM q),
+kept AS (SELECT doc_id, t, words, rep2,
+  {_LANG_CASE_SQL} AS lang
+  FROM h WHERE gopher_pass AND rep2 <= 0.3),
+ix AS (SELECT doc_id, t,
+  unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i FROM kept),
+sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS sg
+       FROM ix),
+b AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band),
+sig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sg)) AS mh
+        FROM sh CROSS JOIN b GROUP BY doc_id, band),
+cand AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+         FROM sig a JOIN sig b2 ON a.band = b2.band AND a.mh = b2.mh
+                               AND a.doc_id < b2.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS n_int
+          FROM sh s1 JOIN sh s2 ON s1.sg = s2.sg AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT c.a_id, c.b_id FROM cand c
+          JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+          JOIN sizes sa ON sa.doc_id = c.a_id
+          JOIN sizes sb ON sb.doc_id = c.b_id
+          WHERE CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int)
+                >= 0.8),
+edges AS (SELECT a_id AS s, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(s, dst) AS (
+  SELECT s, dst FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.dst = e.s),
+losers AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING MIN(dst) < s)
+SELECT doc_id, words, rep2 AS repetition, lang
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_unaccent(spark, sf_dir):
     """F1 unaccent kernel vs DuckDB strip_accents (same decomposition
     semantics on latin corpora; ß preserved on both sides)."""
@@ -2540,6 +2621,7 @@ QUERIES = {
     "q_frame_dups": q_frame_dups,
     "q_audio_dups": q_audio_dups,
     "q_dup_components": q_dup_components,
+    "q_curate_neardup": q_curate_neardup,
     "q_stratified_sample": q_stratified_sample,
     "q_pack_shards": q_pack_shards,
     "q_quantile_gate": q_quantile_gate,
@@ -2547,6 +2629,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dup_components": Q_DUP_COMPONENTS_SQL,
+    "q_curate_neardup": Q_CURATE_NEARDUP_SQL,
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_pack_shards": Q_PACK_SHARDS_SQL,
     "q_quantile_gate": Q_QUANTILE_GATE_SQL,

@@ -28,7 +28,9 @@ __all__ = ["curate"]
 
 
 def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-           *, max_repetition: float = 0.3, localize_to: str | None = None,
+           *, max_repetition: float = 0.3, near_dup: str | None = None,
+           near_dup_threshold: float = 0.8,
+           localize_to: str | None = None,
            lon_col: str | None = None, lat_col: str | None = None,
            with_metrics: bool = True):
     """Curate a document corpus.  Returns ``(out_df, observation)`` —
@@ -40,6 +42,15 @@ def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     1. exact dedup: md5(normalized text) — minimum id survives;
     2. quality gate: Gopher pass flag AND word-bigram repetition ≤
        ``max_repetition``;
+    2b. optional NEAR-dup removal (``near_dup='minhash'``): LSH pairs
+       (``minhash_dup_pairs`` at ``near_dup_threshold`` Jaccard) →
+       transitive closure (``dup_components``) → min-id survivor per
+       cluster; losers leave via one anti-join.  Runs AFTER the gate so
+       the quadratic-ish candidate machinery only sees surviving rows.
+       NOTE: this stage is EAGER (the components fixpoint iterates
+       bounded O(log diameter) rounds, each a checkpointed action) —
+       the default ``near_dup=None`` path stays fully lazy and keeps
+       its pinned one-exchange plan;
     3. ``lang`` column from the heuristic language profiler;
     4. optional caption localization (needs lon/lat columns and a
        ``localize_to`` target language) — the kept text becomes the
@@ -66,6 +77,18 @@ def curate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            .withColumn("kept", F.col("quality.gopher_pass")
                        & (F.col("repetition") <= F.lit(max_repetition))))
     kept = out.filter(F.col("kept")).drop("kept")
+
+    if near_dup is not None:
+        if near_dup != "minhash":
+            raise ValueError("near_dup must be None or 'minhash'")
+        from ..operators.dedup import dup_components, minhash_dup_pairs
+        pairs = minhash_dup_pairs(kept, id_col, text_col,
+                                  jaccard_threshold=near_dup_threshold)
+        comps = dup_components(pairs, id_col=id_col)
+        losers = comps.filter(~F.col("is_survivor")).select(id_col)
+        # loser set is tiny relative to the corpus (it only holds docs
+        # that were IN a near-dup pair and lost) — AQE broadcasts it
+        kept = kept.join(losers, id_col, "left_anti")
 
     if localize_to is not None:
         from .localize import localize

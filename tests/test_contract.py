@@ -63,7 +63,7 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
 
 # queries that emit in-query self-check columns; the pytest gate pins
 # them ALL-TRUE / 1.0.  As of round 4 ALL of these also carry full
-# replay-literal oracles (69/69 gate queries oracled — none rows-only);
+# replay-literal oracles (70/70 gate queries oracled — none rows-only);
 # keeping the self-check pin makes the invariant fail loudly in pytest
 # too, not just as a gate hash mismatch
 ROWS_ONLY_SELF_CHECKS = {
