@@ -643,6 +643,18 @@ def test_curate_pipeline(spark):
     assert lrows[1].caption_l10n == rows[0][1]
     assert "cell_id" in loc.columns
 
+    # near-dup stage: chained variants collapse to the min-id survivor
+    # (1~6 and 6~7 pair via 5-gram minhash; the closure must merge all
+    # three even if 1~7 alone misses a band), unrelated rows survive
+    base = rows[0][1]
+    nd = df.unionByName(spark.createDataFrame(
+        [(6, base + " zz"), (7, base + " zz zz")],
+        "doc_id long, text string"))
+    out_nd, _ = curate(nd, near_dup="minhash", with_metrics=False)
+    assert {r.doc_id for r in out_nd.collect()} == {1, 5}
+    with pytest.raises(ValueError):
+        curate(df, near_dup="simhash")
+
 
 def test_multimodal_resize(spark):
     """Bilinear resize: same-format re-encode round-trips, constant
