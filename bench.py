@@ -144,8 +144,13 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     lo_c, hi_c = core_levels[0], core_levels[1] if len(core_levels) > 1 \
         else core_levels[0]
     for _rep in range(9):
-        # budget guard: stop adding pair repeats after ~9.5 min (keep >=5)
-        if _rep >= 5 and time.time() - t_scale > 560:
+        # budget guard: stop adding pair repeats after ~15 min (keep
+        # >=5).  Widened from 560s in round 4: on a degraded host the
+        # 2-core runs stretch ~2x and the old guard cut the session to
+        # 6 windows — EXACTLY when the median needs more samples, the
+        # guard was starving it.  Phase 2 self-limits on its own bound,
+        # so the worst-case bench wall stays ~25-30 min.
+        if _rep >= 5 and time.time() - t_scale > 900:
             break
         # alternate the within-window order (lo,hi)/(hi,lo): the host
         # heats DURING a window, so whichever level runs second sees a
@@ -180,7 +185,10 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
         return v < BAND * med or v > med / BAND
 
     for r in range(len(samples[hi_c])):
-        if len(retried) >= 4 or time.time() - t_scale > 1100:
+        # retry caps widened with the phase-1 budget (round 4): a slow
+        # host both lengthens windows AND throttles more of them, so
+        # the old 4-retry/1100s caps ran out exactly when most needed
+        if len(retried) >= 6 or time.time() - t_scale > 1450:
             break
         if _outlier(lo_c, r) or _outlier(hi_c, r):
             order = ((lo_c, hi_c) if r % 2 == 0 else (hi_c, lo_c))
@@ -201,7 +209,7 @@ def _run_scaling(staged_scale: str) -> tuple[dict, dict, dict]:
     top_c = core_levels[2] if len(core_levels) > 2 else None
     if top_c is not None:
         for _rep in range(3):
-            if _rep and time.time() - t_scale > 1500:
+            if _rep and time.time() - t_scale > 1800:
                 break
             h = _run_scaling_worker(hi_c, staged_scale, 200 + _rep)
             t = _run_scaling_worker(top_c, staged_scale, 200 + _rep)
