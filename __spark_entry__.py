@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over osml10n_spark.contract — one queries() entry per
-implemented operator from SURVEY.md §2, each with a DuckDB oracle where
-SQL-expressible (rows-only otherwise).
+implemented operator from SURVEY.md §2.  Every query carries a DuckDB
+oracle (70/70 as of round 4): SQL re-derivation where expressible,
+replay-literal pinning (driver-side kernel replay, no Spark) for the
+pixel/iterative paths.
 """
 from __future__ import annotations
 
