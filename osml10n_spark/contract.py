@@ -444,9 +444,15 @@ def q_curate_neardup(spark, sf_dir):
     still collapse each chain to its min id.  Every stage re-derives
     in DuckDB: the minhash chain (q_minhash_pairs SQL), the recursive
     CTE closure (q_dup_components SQL) and the curate gate compose into
-    one oracle."""
+    one oracle.  The corpus is capped at doc_id < 500 (the full table
+    at the gate's sf0.01) so the SINGLE-NODE oracle's minhash — one
+    md5 per shingle × band — stays in memory at every sf: at sf0.1 the
+    uncapped derivation spilled >80 GB of DuckDB temp while the
+    distributed engine side ran fine, which is the scale asymmetry the
+    cap exists to absorb (the operator itself has no such limit)."""
     from .engine.curate import curate
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 500)
     planted = d.unionAll(
         d.select((F.col("doc_id") + 400000).alias("doc_id"),
                  F.concat(F.col("text"), F.lit(" zz")).alias("text"))
@@ -462,7 +468,7 @@ def q_curate_neardup(spark, sf_dir):
 
 Q_CURATE_NEARDUP_SQL = rf"""
 WITH RECURSIVE corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
   UNION ALL SELECT doc_id + 400000, text || ' zz'
     FROM documents WHERE doc_id < 20
   UNION ALL SELECT doc_id + 500000, text || ' zz zz'
@@ -494,8 +500,14 @@ cand AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
                                AND a.doc_id < b2.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS n_int
-          FROM sh s1 JOIN sh s2 ON s1.sg = s2.sg AND s1.doc_id < s2.doc_id
+-- intersections for CANDIDATE pairs only (the final join discards the
+-- rest anyway, and the operator itself verifies candidates-only): the
+-- unbounded all-pairs-sharing-a-shingle self-join spilled >80 GB of
+-- DuckDB temp at sf0.1 (5k docs x ~1k shingles, hub shingles quadratic)
+inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_int
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.a_id
+          JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sg = s1.sg
           GROUP BY 1, 2),
 pairs AS (SELECT c.a_id, c.b_id FROM cand c
           JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
@@ -1812,8 +1824,13 @@ cand AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id, COUNT(*) AS band_matches
                                AND a.doc_id < b2.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS n_int
-          FROM sh s1 JOIN sh s2 ON s1.sg = s2.sg AND s1.doc_id < s2.doc_id
+-- candidates-only intersections (same rewrite as Q_CURATE_NEARDUP_SQL:
+-- the final join discards non-candidate rows, and the unbounded
+-- self-join is quadratic in hub shingles at sf0.1)
+inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_int
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.a_id
+          JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sg = s1.sg
           GROUP BY 1, 2)
 SELECT c.a_id, c.b_id, c.band_matches,
        CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int) AS jaccard
