@@ -196,9 +196,9 @@ def q_gopher_quality(spark, sf_dir):
     symbol/bullet/ellipsis/alpha fractions + combined pass flag) — all
     JVM expressions, each ratio floor-truncated for exact cross-engine
     parity."""
-    from .operators.textops import gopher_flags
-    d = _t(spark, sf_dir, "documents")
-    g = gopher_flags(F.col("text"))
+    from .operators.textops import add_gopher_flags
+    d = add_gopher_flags(_t(spark, sf_dir, "documents"), "text", "q")
+    g = F.col("q")
     return d.select("doc_id", g.getField("words").alias("words"),
                     g.getField("mean_word_len").alias("mean_word_len"),
                     g.getField("symbol_ratio").alias("symbol_ratio"),

@@ -257,7 +257,8 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
 def dup_components(pairs: DataFrame, nodes: DataFrame | None = None,
                    a_col: str = "a_id", b_col: str = "b_id",
                    id_col: str = "doc_id",
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Transitively close near-dup PAIRS into duplicate CLUSTERS and
     pick one survivor per cluster — the operation a production corpus
     dedup actually ships: ``hash_dup_pairs``/``minhash_dup_pairs`` emit
@@ -279,9 +280,13 @@ def dup_components(pairs: DataFrame, nodes: DataFrame | None = None,
     plans: cached blocks stop re-execution but the logical plan still
     nests round over round and Catalyst re-analyzes the whole tree
     every iteration (measured 2.6s → 44s/round growth by round 4 on a
-    16-node toy graph; checkpointing holds it flat).  On a real
-    cluster swap ``localCheckpoint`` for ``checkpoint`` against a
-    reliable store if executor loss mid-iteration must be survivable.
+    16-node toy graph; checkpointing holds it flat).  By default the
+    checkpoint is executor-local (``localCheckpoint`` — fast, but an
+    executor loss mid-iteration loses blocks); pass
+    ``checkpoint_dir`` (an HDFS/S3 path on a real cluster) to switch
+    every round to a RELIABLE ``checkpoint`` against that store so
+    the fixpoint survives executor loss — same labels either way
+    (tests/test_operators.py proves both paths converge identically).
 
     ``nodes`` (optional, a single-column frame of ``id_col``) adds
     isolated documents: nodes in no pair come back as their own
@@ -300,14 +305,19 @@ def dup_components(pairs: DataFrame, nodes: DataFrame | None = None,
     if nodes is not None:
         ids = ids.unionByName(
             nodes.select(F.col(id_col).alias("id"))).distinct()
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _snapshot = lambda d: d.checkpoint()          # reliable, eager
+    else:
+        _snapshot = lambda d: d.localCheckpoint()     # executor-local
     edges = edges.persist()
-    labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
+    labels = _snapshot(ids.withColumn("comp", F.col("id")))
     converged = False
     for _ in range(max_iters):
-        # eager localCheckpoint materializes the round AND truncates
-        # lineage (see docstring); superseded rounds' blocks are freed
-        # by the ContextCleaner once unreferenced
-        jumped = _cc_round(edges, labels).localCheckpoint()
+        # eager checkpoint materializes the round AND truncates
+        # lineage (see docstring); superseded rounds' blocks/files are
+        # freed by the ContextCleaner once unreferenced
+        jumped = _snapshot(_cc_round(edges, labels))
         n_changed = jumped.filter(F.col("comp") != F.col("prev")).count()
         labels = jumped
         if n_changed == 0:

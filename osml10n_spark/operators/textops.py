@@ -13,7 +13,8 @@ from ..kernels.scripts import RE_CJK, RE_CYRILLIC, RE_NON_LATIN, RE_THAI
 from .dedup import normalize_text
 
 __all__ = ["add_script_flags", "lang_id", "quality_score", "token_count",
-           "fingerprint", "gopher_flags", "repetition_ratio", "clean_text"]
+           "fingerprint", "gopher_flags", "add_gopher_flags",
+           "repetition_ratio", "clean_text"]
 
 
 def _trunc6(x):
@@ -82,22 +83,17 @@ def fingerprint(col):
     return F.substring(F.md5(normalize_text(col)), 1, 16)
 
 
-def gopher_flags(col):
-    """Gopher-rule pretraining quality signals (Rae et al. 2021 §A1.1
-    style), entirely as JVM expressions: word count, mean word length,
-    symbol-to-word ratio (#/…), bullet-line and ellipsis-line
-    fractions, alphabetic-word fraction, and the combined pass flag.
-    Ratios are floor-truncated to 1e-6 for cross-engine parity."""
+def _gopher_raw_counts(col):
+    """The LEAF counts of the Gopher rules as one struct — each
+    text-derived regex chain appears exactly once (no count references
+    another count), so the expression's generated code is LINEAR in
+    the number of leaves."""
     c = col
     norm = normalize_text(c)
     words = F.when(F.length(norm) == 0, F.lit(0)) \
         .otherwise(F.size(F.split(norm, " "))).cast("long")
     word_chars = F.length(F.regexp_replace(norm, " ", "")).cast("double")
-    mean_wl = F.when(words > 0, _trunc6(word_chars / words)) \
-        .otherwise(F.lit(0.0))
     symbols = F.regexp_count(c, F.lit("[#…]")).cast("double")
-    symbol_ratio = F.when(words > 0, _trunc6(symbols / words)) \
-        .otherwise(F.lit(0.0))
     # line-level fractions via (?m) multiline regex counts — no HOF
     # lambdas anywhere (Catalyst's interpreted-lambda path costs ~ms/row).
     # \\r, U+2028, U+2029 and U+0085 are stripped first: Java's (?m)
@@ -109,13 +105,32 @@ def gopher_flags(col):
         cl, F.lit("(?m)^[ \\t]*[-*•]")).cast("double")
     ellipsis_lines = F.regexp_count(
         cl, F.lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast("double")
-    bullet_frac = _trunc6(bullet_lines / n_lines)
-    ellipsis_frac = _trunc6(ellipsis_lines / n_lines)
     # one count per whitespace-word containing ≥1 letter: each match
     # consumes the word's leading space, so words can't double-count
     alpha_words = F.regexp_count(
         F.concat(F.lit(" "), norm), F.lit(" [^ ]*\\p{L}")).cast("double")
-    alpha_word_frac = F.when(words > 0, _trunc6(alpha_words / words)) \
+    return F.struct(words.alias("words"), word_chars.alias("word_chars"),
+                    symbols.alias("symbols"), n_lines.alias("n_lines"),
+                    bullet_lines.alias("bullet_lines"),
+                    ellipsis_lines.alias("ellipsis_lines"),
+                    alpha_words.alias("alpha_words"))
+
+
+def _gopher_from_counts(r):
+    """Ratios + pass flag from a raw-counts struct column.  Small by
+    construction: every operand is a (cheap) field access, so even
+    with Catalyst's CASE/null inline duplication the generated code
+    stays a few hundred bytes per field."""
+    words = r.getField("words")
+    mean_wl = F.when(words > 0, _trunc6(r.getField("word_chars") / words)) \
+        .otherwise(F.lit(0.0))
+    symbol_ratio = F.when(words > 0, _trunc6(r.getField("symbols") / words)) \
+        .otherwise(F.lit(0.0))
+    bullet_frac = _trunc6(r.getField("bullet_lines") / r.getField("n_lines"))
+    ellipsis_frac = _trunc6(
+        r.getField("ellipsis_lines") / r.getField("n_lines"))
+    alpha_word_frac = F.when(
+        words > 0, _trunc6(r.getField("alpha_words") / words)) \
         .otherwise(F.lit(0.0))
     gopher_pass = ((words >= 3) & (mean_wl >= 1.0) & (mean_wl <= 12.0)
                    & (symbol_ratio <= 0.1) & (bullet_frac <= 0.9)
@@ -126,6 +141,47 @@ def gopher_flags(col):
                     ellipsis_frac.alias("ellipsis_frac"),
                     alpha_word_frac.alias("alpha_word_frac"),
                     gopher_pass.alias("gopher_pass"))
+
+
+def gopher_flags(col):
+    """Gopher-rule pretraining quality signals (Rae et al. 2021 §A1.1
+    style), entirely as JVM expressions: word count, mean word length,
+    symbol-to-word ratio (#/…), bullet-line and ellipsis-line
+    fractions, alphabetic-word fraction, and the combined pass flag.
+    Ratios are floor-truncated to 1e-6 for cross-engine parity.
+
+    CODEGEN WARNING: as a single Column, Catalyst inlines the raw
+    counts into every ratio AND into the pass flag (GetStructField on
+    a CreateNamedStruct simplifies to the field's full expression), so
+    the generated code grows EXPONENTIALLY with derivation depth —
+    measured ~500 KB for this one expression, beyond janino's 64 KB
+    method limit, silently demoting the whole stage to interpreted
+    evaluation.  Pipelines must use :func:`add_gopher_flags`, which
+    splits the derivation at a Generate barrier so it compiles;
+    this Column form exists for small ad-hoc selects and as the
+    semantics reference (tests pin both forms byte-identical AND that
+    add_gopher_flags compiles under spark.sql.codegen.fallback=false)."""
+    return _gopher_from_counts(_gopher_raw_counts(col))
+
+
+def add_gopher_flags(df: DataFrame, text_col: str = "text",
+                     out_col: str = "quality") -> DataFrame:
+    """``df`` + a ``quality`` struct column — same semantics as
+    ``gopher_flags`` but COMPILABLE: the raw counts are emitted through
+    a one-element ``explode`` (a Generate node), which turns them into
+    real attributes.  Attributes are let-bindings Catalyst cannot
+    re-inline, so each regex chain is evaluated once per row and the
+    downstream ratio/pass expressions are field accesses — total
+    generated code is linear, vs exponential for the single-Column
+    form (see gopher_flags docstring).  The Generate stays inside
+    whole-stage codegen (explode is codegen-native), adds no exchange
+    and no Python island."""
+    staged = df.select(
+        "*", F.explode(F.array(_gopher_raw_counts(F.col(text_col))))
+        .alias("_gopher_raw"))
+    return staged.withColumn(
+        out_col, _gopher_from_counts(F.col("_gopher_raw"))) \
+        .drop("_gopher_raw")
 
 
 def _make_rep_udf(n: int):

@@ -228,6 +228,25 @@ def test_dup_components_long_path_converges_fast(spark):
     assert out.filter("is_survivor").count() == 1
 
 
+def test_dup_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= switches the fixpoint's per-round snapshot from
+    executor-local localCheckpoint to a RELIABLE checkpoint against the
+    given store (the cluster-survivability path): same labels as the
+    default path, and the directory actually receives RDD checkpoints."""
+    import os
+    from osml10n_spark.operators.dedup import dup_components
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31), (12, 13)], "a_id long, b_id long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 13, 30, 31, 77)], "doc_id long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    local = {tuple(r) for r in dup_components(pairs, nodes=nodes).collect()}
+    reliable = {tuple(r) for r in dup_components(
+        pairs, nodes=nodes, checkpoint_dir=ckdir).collect()}
+    assert local == reliable
+    assert any(os.scandir(ckdir)), "no checkpoint files written"
+
+
 def test_simhash_pairs(spark):
     # one changed token in 20 → hamming 3 under the md5-nibble hash;
     # the 4-band pigeonhole guarantees recall only for hamming ≤ 3,
@@ -595,6 +614,27 @@ def test_gopher_flags_and_repetition(spark):
                             F.col("text"))).alias("c")).first().c
     assert cleaned.startswith("go to The quick")
     assert "https" not in cleaned and "@" not in cleaned
+
+
+def test_add_gopher_flags_matches_column_form(spark):
+    """The Generate-barrier form (add_gopher_flags) and the single-
+    Column form (gopher_flags) are the same derivation — every field
+    bit-identical on real corpus text plus the edge rows (empty text,
+    bullets, symbol spam, NULL)."""
+    from osml10n_spark.operators.textops import add_gopher_flags, \
+        gopher_flags
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").unionByName(spark.createDataFrame(
+            [(9001, ""), (9002, "- a\n- b"), (9003, "## # ##"),
+             (9004, None)], "doc_id long, text string"))
+    col_form = docs.select("doc_id",
+                           gopher_flags(F.col("text")).alias("quality"))
+    df_form = add_gopher_flags(docs).select("doc_id", "quality")
+    a = {r.doc_id: r.quality for r in col_form.collect()}
+    b = {r.doc_id: r.quality for r in df_form.collect()}
+    assert set(a) == set(b) and len(a) > 100
+    for k in a:
+        assert a[k] == b[k], f"doc {k}: {a[k]} != {b[k]}"
 
 
 def test_cell_embedding_profile(spark):

@@ -251,3 +251,34 @@ def test_dup_components_round_is_equi_join_only(spark):
     plan = physical_plan(_cc_round(edges, labels), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_headline_pipelines_compile_under_wholestage_codegen(spark):
+    """No silent interpreted fallback on headline pipelines: with
+    spark.sql.codegen.fallback=false a janino failure ("Code grows
+    beyond 64 KB") becomes a hard error instead of a silent
+    constant-factor tax.  Regression this pins: the single-Column
+    gopher_flags expression inlined to ~500 KB of generated code in
+    the curate gate stage — every stage of the curate family (and the
+    flagship localization) must COMPILE, not merely run."""
+    from osml10n_spark.contract import QUERIES
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for q in ("q_gopher_quality", "q_curate", "q_curate_neardup",
+                  "q_localize_documents"):
+            rows = QUERIES[q](spark, SF).collect()
+            assert rows, f"{q} returned no rows"
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_add_gopher_flags_plan_shape(spark):
+    """The Generate-barrier form adds no exchange and no Python island:
+    the raw-count struct rides a codegen-native explode."""
+    from osml10n_spark.operators.textops import add_gopher_flags
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = add_gopher_flags(docs).select("doc_id", "quality")
+    assert exchange_count(out) == 0
+    assert python_eval_count(out) == 0
+    from osml10n_spark.plans.inspect import physical_plan
+    assert "Generate explode" in physical_plan(out, mode="simple")
