@@ -30,5 +30,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from osml10n_spark.contract import ORACLES
-    return dict(ORACLES)
+    from osml10n_spark.contract import resolve_oracles
+    return resolve_oracles()

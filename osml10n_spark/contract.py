@@ -12,6 +12,8 @@ have no oracle → the driver records the weaker rows-only check.
 """
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.dedup import (exact_dedup, minhash_dup_pairs,
@@ -1948,28 +1950,40 @@ def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN, VALUE-ORACLED: the exact non-self
     nearest neighbor is cross-derived by DuckDB's own cosine window,
     and per-query/mean recall floors are pinned as boolean invariants
-    (see _ann_recall).  Floors measured on the fixed (sf0.01, seed 42)
-    pairing: per-query recall distribution {1.0: 8, 2/3: 2} → per-query
-    floor 2/3 (tight but deterministic), mean 0.933 → mean floor 0.9."""
+    (see _ann_recall).  Runs over the exact-decimal _clustered_vectors
+    derivation (same input as q_ann_ivf): the raw embeddings table is
+    clusterless, so its exact-NN ranking had near-ties where Spark's
+    aggregate()-summed dot/(norm·norm) and DuckDB's
+    list_cosine_similarity — different float derivations — could
+    disagree at some future sf/seed; on the clustered vectors the
+    rank-2 gap is STRUCTURAL (shared 4.0 components dominate), not
+    rounding-dependent.  Floors measured on the fixed derivation at
+    sf0.01: every query at recall 1.0 (the 16-dim cluster structure is
+    exactly what hyperplane sketches preserve); pinned at 0.9 per-query
+    and mean, leaving one-of-three headroom per query."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0) \
+    cl = _clustered_vectors(e)
+    q = cl.filter(F.col("vec_id") % 50 == 0) \
         .select(F.col("vec_id").alias("qid"), "embedding")
-    items = e.select(F.col("vec_id").alias("iid"), "embedding")
-    dim = len(e.select("embedding").first()[0])
-    ann = lsh_topk(q, items, 3, dim=dim, n_bits=4, n_tables=12)
+    items = cl.select(F.col("vec_id").alias("iid"), "embedding")
+    ann = lsh_topk(q, items, 3, dim=16, n_bits=4, n_tables=12)
     exact = cosine_topk(q, items, 3)
-    return _ann_recall(ann, exact, 3, per_query_floor=2.0 / 3.0,
-                       mean_floor=0.9)
+    return _ann_recall(ann, exact, 3, per_query_floor=0.9, mean_floor=0.9)
 
 
 Q_ANN_LSH_SQL = """
-WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
-           WHERE vec_id % 50 = 0),
+WITH cl AS (SELECT vec_id,
+  list_transform(range(0, 16), j ->
+    CASE WHEN j = (vec_id % 8) * 2 OR j = (vec_id % 8) * 2 + 1
+         THEN 4.0 ELSE 0.0 END
+    + ((vec_id * 31 + j * 17) % 7) * 0.05) AS embedding
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding FROM cl WHERE vec_id % 50 = 0),
 r AS (SELECT q.qid, i.vec_id AS iid,
   ROW_NUMBER() OVER (PARTITION BY q.qid
     ORDER BY list_cosine_similarity(q.embedding, i.embedding) DESC,
              i.vec_id ASC) AS rank
-  FROM q CROSS JOIN embeddings i)
+  FROM q CROSS JOIN cl i)
 SELECT qid, iid AS exact_nn, true AS recall_ok, true AS mean_recall_ok
 FROM r WHERE rank = 2 ORDER BY qid
 """
@@ -2410,11 +2424,12 @@ FROM t
 """
 
 
-Q_IMAGE_FEATURES_SQL = _image_features_sql()
-Q_PAYLOAD_AUDIT_SQL = _payload_audit_sql()
-Q_IMAGE_RESIZE_SQL = _image_resize_sql()
-Q_FRAME_SAMPLE_SQL = _frame_sample_sql()
-Q_CELL_PROFILE_SQL = _cell_profile_sql()
+# NOTE: the five replay-literal oracles above are NOT built here —
+# each costs hundreds of deterministic image/audio generations plus
+# encode/decode (including the zlib PNG round-trip), which importing
+# contract.py for bench/tests/entry must not pay.  Their builder
+# FUNCTIONS go into ORACLES and are resolved (once, cached) by
+# resolve_oracles() when a caller actually needs oracle SQL.
 
 
 def q_frame_dups(spark, sf_dir):
@@ -2655,11 +2670,13 @@ ORACLES = {
     "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_frame_dups": Q_FRAME_DUPS_SQL,
     "q_audio_dups": Q_AUDIO_DUPS_SQL,
-    "q_image_features": Q_IMAGE_FEATURES_SQL,
-    "q_payload_audit": Q_PAYLOAD_AUDIT_SQL,
-    "q_image_resize": Q_IMAGE_RESIZE_SQL,
-    "q_frame_sample": Q_FRAME_SAMPLE_SQL,
-    "q_cell_embedding_profile": Q_CELL_PROFILE_SQL,
+    # callables = lazily-built replay-literal oracles (see the note at
+    # the builders): resolve_oracles() turns them into SQL on demand
+    "q_image_features": _image_features_sql,
+    "q_payload_audit": _payload_audit_sql,
+    "q_image_resize": _image_resize_sql,
+    "q_frame_sample": _frame_sample_sql,
+    "q_cell_embedding_profile": _cell_profile_sql,
     "q_cascade": Q_CASCADE_SQL,
     "q_script_flags": Q_SCRIPT_FLAGS_SQL,
     "q_lang_profile": Q_LANG_PROFILE_SQL,
@@ -2716,6 +2733,20 @@ ORACLES = {
     "q_running_window": Q_RUNNING_WINDOW_SQL,
     "q_translit_cyrillic": Q_TRANSLIT_CYRILLIC_SQL,
 }
+
+
+@functools.lru_cache(maxsize=None)
+def _resolve_oracle(name: str) -> str:
+    v = ORACLES[name]
+    return v() if callable(v) else v
+
+
+def resolve_oracles() -> dict[str, str]:
+    """ORACLES with every lazily-built (callable) entry resolved to its
+    SQL string — cached, so repeated callers (the per-query gate tests)
+    pay the replay-literal generation cost once per process instead of
+    at module import."""
+    return {k: _resolve_oracle(k) for k in ORACLES}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):

@@ -171,13 +171,48 @@ class SnapshotStore:
         the manifest proves it already landed)."""
         return self.committed_epochs_since(-1)[0]
 
+    def committed_epochs_tracked(self, seen_files: set[str]) -> set[int]:
+        """Exact incremental replay-filter refresh: reads every manifest
+        whose FILENAME is not in ``seen_files`` (mutated in place), and
+        returns the epochs found in the newly read ones.  Unlike the
+        seq-cursor filter of :meth:`committed_epochs_since`, this cannot
+        miss a SEQ COLLISION: ``commit`` allocates seq at commit START
+        (``last_snapshot()+1``) but the manifest lands only after the
+        slow data write, so a stale concurrent committer can publish a
+        manifest whose seq is ≤ an already-scanned cursor — a filename
+        the cursor filter would skip forever (double-commit).  Tracking
+        read filenames keeps the per-call cost O(unseen manifests) with
+        full-rescan correctness.  Unparsable manifests are NOT added to
+        ``seen_files`` (a pre-atomic-era partial write stays re-checked,
+        and the cost of re-reading a corrupt file is one failed parse)."""
+        snaps_dir = os.path.join(self.root, "snapshots")
+        out: set[int] = set()
+        if os.path.isdir(snaps_dir):
+            for fn in sorted(os.listdir(snaps_dir)):
+                if not fn.endswith(".json") or fn in seen_files:
+                    continue
+                m = self._read_manifest(os.path.join(snaps_dir, fn))
+                if m is None:
+                    continue
+                seen_files.add(fn)
+                ep = m.get("metrics", {}).get("epoch")
+                if ep is not None:
+                    out.add(int(ep))
+        return out
+
     def committed_epochs_since(self, after_seq: int) -> tuple[set[int], int]:
         """Incremental replay-filter refresh: epochs from manifests with
         seq > ``after_seq`` only, plus the highest seq seen.  Manifest
         filenames lead with the zero-padded seq, so older files are
         skipped WITHOUT reading their JSON — a long-running stream's
         per-epoch stale-committer re-validation stays O(new manifests)
-        instead of O(all epochs ever committed)."""
+        instead of O(all epochs ever committed).
+
+        CAVEAT: the filename-seq filter assumes seqs only grow, which a
+        CONCURRENT stale committer violates (seq collision — see
+        :meth:`committed_epochs_tracked`, which the streaming loops use
+        as their miss path for exactly that reason).  This method is
+        right for one-shot snapshots of the committed set."""
         snaps_dir = os.path.join(self.root, "snapshots")
         out: set[int] = set()
         max_seq = after_seq

@@ -127,6 +127,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         ln = struct.unpack(">I", data[pos:pos + 4])[0]
         typ = data[pos + 4:pos + 8]
+        # bounds-check BEFORE slicing: a truncated chunk would give a
+        # <4-byte CRC slice and struct.unpack would raise struct.error,
+        # escaping callers that treat ValueError as "corrupt payload"
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
         payload = data[pos + 8:pos + 8 + ln]
         crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
         if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
@@ -140,10 +145,15 @@ def _decode_png(data: bytes) -> np.ndarray:
         elif typ == b"IDAT":
             idat += payload
         elif typ == b"IEND":
+            seen_iend = True
             break
         pos += 12 + ln
+    else:
+        seen_iend = False
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if not seen_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * 3
     if len(raw) != h * (stride + 1):

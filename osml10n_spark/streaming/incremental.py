@@ -28,19 +28,21 @@ def localize_stream(stream_df: DataFrame, store_root: str,
     Concurrency contract: one ACTIVE committer per store root (the
     normal Structured Streaming deployment — one query per checkpoint).
     The committed-epoch cache is still re-validated against the
-    manifests on every cache miss, so an epoch landed by a PREVIOUS
-    incarnation (e.g. an old job that drained after this one started)
-    is detected before any double-commit; the rescan is INCREMENTAL
-    (manifests with seq beyond the last scanned only, filename-filtered
-    before any JSON read), so a long-running stream's per-epoch miss
-    path stays O(new manifests), not O(all epochs ever committed)."""
+    manifests on every cache miss, so an epoch landed by ANOTHER
+    incarnation (an old job that drained after this one started, even
+    one whose manifest seq COLLIDES with an already-scanned seq — seq
+    is allocated at commit start, the manifest lands after the slow
+    data write) is detected before any double-commit; the rescan reads
+    only manifest files not read before (filename-tracked, exact), so
+    a long-running stream's per-epoch miss path stays O(new
+    manifests), not O(all epochs ever committed)."""
     from ..engine.job import add_cell_prefix
 
     store = SnapshotStore(store_root)
     # loaded once at stream start, appended in memory, re-validated
-    # incrementally on miss (see the concurrency contract above)
-    committed, seq0 = store.committed_epochs_since(-1)
-    scanned = {"seq": seq0}
+    # exactly on miss (see the concurrency contract above)
+    seen_files: set[str] = set()
+    committed = store.committed_epochs_tracked(seen_files)
 
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
@@ -50,10 +52,9 @@ def localize_stream(stream_df: DataFrame, store_root: str,
         # (written last = the commit point) proves it already landed
         if int(epoch_id) in committed:
             return
-        # cache miss → scan only manifests NEWER than the last scan, in
-        # case another (stale) committer landed this epoch after it
-        new, scanned["seq"] = store.committed_epochs_since(scanned["seq"])
-        committed.update(new)
+        # cache miss → read any manifest file not read before (covers
+        # stale committers, including seq collisions)
+        committed.update(store.committed_epochs_tracked(seen_files))
         if int(epoch_id) in committed:
             return
         staged = add_cell_prefix(batch_df)
@@ -81,16 +82,15 @@ def curate_stream(stream_df: DataFrame, store_root: str,
     from ..engine.curate import curate
 
     store = SnapshotStore(store_root)
-    committed, seq0 = store.committed_epochs_since(-1)
-    scanned = {"seq": seq0}
+    seen_files: set[str] = set()
+    committed = store.committed_epochs_tracked(seen_files)
 
     def process(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
         if int(epoch_id) in committed:
             return
-        new, scanned["seq"] = store.committed_epochs_since(scanned["seq"])
-        committed.update(new)
+        committed.update(store.committed_epochs_tracked(seen_files))
         if int(epoch_id) in committed:
             return
         out, _ = curate(batch_df, with_metrics=False, **curate_kwargs)

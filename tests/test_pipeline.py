@@ -163,6 +163,12 @@ def test_png_codec_roundtrip_and_filter_inversion():
     with pytest.raises(ValueError, match="CRC"):
         decode_image(bytes(bad), "png")
 
+    # truncation anywhere inside a chunk raises ValueError, never
+    # struct.error (callers treat ValueError as "corrupt payload")
+    for cut in (len(enc) - 3, len(enc) - 10, 20, 12):
+        with pytest.raises(ValueError):
+            decode_image(enc[:cut], "png")
+
 
 def test_generate_images_png_every_preserves_pixels(spark):
     """png_every re-containers every k-th row as real PNG without

@@ -279,3 +279,54 @@ def test_committed_epochs_since_incremental_scan(spark, tmp_path):
     assert new == {7} and seq2 == 2
     # full scan still sees everything (compat surface)
     assert store.committed_epochs() == {0, 1, 7}
+
+
+def test_committed_epochs_tracked_catches_seq_collision(spark, tmp_path):
+    """The streaming miss path must detect an epoch landed by a STALE
+    CONCURRENT committer whose manifest seq collides with an
+    already-scanned one: commit() allocates seq at commit start but
+    publishes the manifest only after the slow data write, so the
+    manifest can appear with seq ≤ the reader's cursor.  The old
+    seq-cursor refresh (committed_epochs_since) skips that filename
+    forever → double commit; the filename-tracked rescan reads it."""
+    import json
+    import os
+    import shutil
+
+    from osml10n_spark.engine.job import add_cell_prefix
+    from osml10n_spark.sources.datagen import generate_images
+
+    root = str(tmp_path / "snap_coll")
+    store = SnapshotStore(root)
+    batch = add_cell_prefix(generate_images(spark, 10, seed=5,
+                                            with_images=False))
+    m0 = store.commit(batch, [0], metrics={"epoch": 0})
+
+    # the stream starts: full load, cursor/tracking established
+    seen: set[str] = set()
+    committed = store.committed_epochs_tracked(seen)
+    _, cursor = store.committed_epochs_since(-1)
+    assert committed == {0}
+
+    # stale committer: allocated seq=1 BEFORE the stream's own seq=1
+    # commit, lands AFTER it — same leading seq, different uuid suffix
+    m1 = store.commit(batch, [1], metrics={"epoch": 1})       # stream's
+    committed.update(store.committed_epochs_tracked(seen))
+    _, cursor = store.committed_epochs_since(cursor)
+    stale_id = "000001-deadbeef"
+    stale_dir = os.path.join(root, "data", stale_id)
+    shutil.copytree(m1["data_dir"], stale_dir)
+    stale = dict(m1, snapshot_id=stale_id, data_dir=stale_dir,
+                 metrics={"epoch": 99})
+    with open(os.path.join(root, "snapshots", f"{stale_id}.json"),
+              "w") as f:
+        json.dump(stale, f)
+
+    # old cursor refresh misses it (seq 1 ≤ cursor 1) — the bug
+    missed, _ = store.committed_epochs_since(cursor)
+    assert 99 not in missed
+    # tracked rescan reads the unseen filename and finds epoch 99
+    committed.update(store.committed_epochs_tracked(seen))
+    assert 99 in committed and committed == {0, 1, 99}
+    # and it stays incremental: nothing new → no epochs, set stable
+    assert store.committed_epochs_tracked(seen) == set()
