@@ -1577,6 +1577,161 @@ FROM events
 
 
 
+# ------------------------------------------------------------------
+# q_micro_kernels: ONE gate query promoting the six golden-only
+# micro-kernels (P7 gate, P8 langcode, A2 candidate count, W2 tag
+# sort, F20 capitalize/strip, F22 centroid quirk) to dedicated oracle
+# rows.  Case inputs are shared constants so the Spark query and the
+# oracle SQL read one source of truth.
+_MK_P8 = [(1, "name"), (2, "name:de"), (3, "name:zh-Hant"), (4, "a:b:c"),
+          (5, "name:"), (6, ":::"), (7, "name:ja_rm")]
+_MK_W2 = [(1, ["name:ja_rm", "name:zh", "name:ko-Latn", "name"]),
+          (2, ["name:yue_rm", "name:abc_rm", "name:ab-Latn",
+               "name:abcd_rm", "name:AB-Latn"]),
+          (3, []), (4, ["name:de", "alt_name"])]
+_MK_F20 = [(1, "  tokyo tower  "), (2, "mIxEd cAsE"), (3, "100 abc"),
+           (4, ""), (5, "X")]
+_MK_F22 = [(1, [0.0, 10.0, 10.0, 30.0]), (2, [2.5, 3.5, 4.5, 8.5]),
+           (3, [1.0, 2.0]), (4, None)]
+_MK_P7 = [(1, "Main Street", 139.7, 35.68), (2, "東京タワー", 139.7, 35.68),
+          (3, "北京", 116.4, 39.9), (4, "สถานีรถไฟ", 0.0, 0.0),
+          (5, "東京", 0.0, 0.0), (6, None, 10.0, 50.0)]
+_MK_A2 = [
+    (1, {"ISO3166-1:alpha2": "BE", "name:en": "Belgium",
+         "name:nl": "Belgie", "name:fr": "Belgique",
+         "name:de": "Belgien"}, "en", False),
+    (2, {"ISO3166-1:alpha2": "BE", "name:en": "Belgien",
+         "name:nl": "Belgie", "name:fr": "Belgique",
+         "name:de": "Belgien"}, "en", False),
+    (3, {"ISO3166-1:alpha2": "DE", "name:de": "Deutschland",
+         "name:en": "Germany"}, "en", False),
+    (4, {"ISO3166-1:alpha2": "CH", "name:en": "Switzerland",
+         "name:de": "Schweiz", "name:fr": "Suisse",
+         "name:it": "Svizzera", "name:rm": "Svizra"}, "en", True),
+]
+
+
+def q_micro_kernels(spark, sf_dir):
+    """Composite oracle for the six micro-kernels that were previously
+    golden-only (pytest-pinned inside composite queries, no dedicated
+    gate row): P8 langcode extraction
+    (get_localized_name_from_tags.lua:44-52 — note the 'name:' →
+    'name' trailing-colon quirk), W2 deterministic romanization-tag
+    sort (:181), F20 capitalize/strip (geo-transcript-srv.py:155-158,
+    via kanji_transcript on single-token latin runs), F22 bbox
+    centroid with degradation quirks (geo_transcript.lua:19-35 —
+    short/NULL bboxes collapse to (0,0)), P7 the CJK/Thai
+    filter-before-join gate (geo-transcript-srv.py:268-275), and A2
+    the candidate count surviving get_country_name's Levenshtein dedup
+    (get_country_name.lua:75).  Output is (kernel, case_id, result) —
+    P8/W2/F20/F22 are re-derived INDEPENDENTLY in DuckDB SQL; P7 (PiP
+    geometry) and A2 (country-language dim) replay the pure-python
+    kernels driver-side at oracle build (the replay-literal pattern —
+    transport/plan integrity; kernel math is pytest-pinned)."""
+    from .udfs import (udf_capitalize_strip as u_capstrip,
+                       udf_centroid_quirk10 as u_centroid,
+                       udf_country_gated, udf_country_name,
+                       udf_langcode_from_tag as u_langcode,
+                       udf_sorted_rm_tags as u_rm_sort)
+
+    k = F.lit
+    p8 = spark.createDataFrame(_MK_P8, "case_id long, tag string").coalesce(1) \
+        .select(k("P8").alias("kernel"), "case_id",
+                u_langcode("tag").alias("result"))
+    w2 = spark.createDataFrame(_MK_W2, "case_id long, tags array<string>").coalesce(1) \
+        .select(k("W2").alias("kernel"), "case_id",
+                u_rm_sort("tags").alias("result"))
+    f20 = spark.createDataFrame(_MK_F20, "case_id long, s string").coalesce(1) \
+        .select(k("F20").alias("kernel"), "case_id",
+                u_capstrip("s").alias("result"))
+    f22 = spark.createDataFrame(_MK_F22, "case_id long, bbox array<double>").coalesce(1) \
+        .select(k("F22").alias("kernel"), "case_id",
+                u_centroid("bbox").alias("result"))
+    p7 = spark.createDataFrame(
+        _MK_P7, "case_id long, name string, lon double, lat double").coalesce(1) \
+        .select(k("P7").alias("kernel"), "case_id",
+                udf_country_gated("name", "lon", "lat").alias("result"))
+    a2 = spark.createDataFrame(
+        _MK_A2,
+        "case_id long, tags map<string,string>, target string, app boolean").coalesce(1) \
+        .select(k("A2").alias("kernel"), "case_id",
+                F.size(udf_country_name("tags", "target", "app"))
+                .cast("string").alias("result"))
+    return (p8.unionAll(w2).unionAll(f20).unionAll(f22).unionAll(p7)
+            .unionAll(a2).orderBy("kernel", "case_id"))
+
+
+def _micro_kernels_sql() -> str:
+    """Oracle for q_micro_kernels: P8/W2/F20/F22 derived in DuckDB SQL
+    from the shared case constants; P7/A2 probed from the pure-python
+    kernels here (geometry / language-dim lookups have no SQL twin)."""
+    import numpy as np
+
+    from .kernels.names import get_country_name
+    from .kernels.scripts import contains_cjk, contains_thai
+    from .udfs import _prepared
+
+    def sq(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    p8_vals = ", ".join(f"({cid}, {sq(tag)})" for cid, tag in _MK_P8)
+    w2_vals = ", ".join(
+        "({}, {})".format(cid, "CAST([] AS VARCHAR[])" if not tags else
+                          "[" + ", ".join(sq(t) for t in tags) + "]")
+        for cid, tags in _MK_W2)
+    f20_vals = ", ".join(f"({cid}, {sq(s)})" for cid, s in _MK_F20)
+    f22_vals = ", ".join(
+        "({}, {})".format(cid, "CAST(NULL AS DOUBLE[])" if bbox is None
+                          else "[" + ", ".join(repr(v) for v in bbox) + "]")
+        for cid, bbox in _MK_F22)
+    prep = _prepared()
+    p7_rows = []
+    for cid, nm, lon, lat in _MK_P7:
+        if nm is not None and contains_cjk(nm):
+            cc = prep.lookup(np.array([lon]), np.array([lat]))[0]
+        elif nm is not None and contains_thai(nm):
+            cc = "th"
+        else:
+            cc = ""
+        p7_rows.append(f"({cid}, {sq(cc or '')})")
+    p7_vals = ", ".join(p7_rows)
+    a2_vals = ", ".join(
+        f"({cid}, {len(get_country_name(dict(tags), tg, ap))})"
+        for cid, tags, tg, ap in _MK_A2)
+    return f"""
+WITH p8(case_id, tag) AS (VALUES {p8_vals}),
+w2(case_id, tags) AS (VALUES {w2_vals}),
+f20(case_id, s) AS (VALUES {f20_vals}),
+f22(case_id, bbox) AS (VALUES {f22_vals}),
+p7(case_id, cc) AS (VALUES {p7_vals}),
+a2(case_id, n) AS (VALUES {a2_vals}),
+u AS (
+  SELECT 'P8' AS kernel, case_id,
+    CASE WHEN strpos(tag, ':') = 0 THEN NULL
+         ELSE list_filter(string_split(tag, ':'), x -> x <> '')[-1]
+    END AS result FROM p8
+  UNION ALL SELECT 'W2', case_id,
+    COALESCE(array_to_string(list_sort(list_filter(tags, t ->
+      regexp_matches(t, '^name:[a-z][a-z][a-z]?_rm$')
+      OR regexp_matches(t, '^name:[a-z][a-z][a-z]?-Latn$'))), '|'), '')
+    FROM w2
+  UNION ALL SELECT 'F20', case_id,
+    CASE WHEN trim(s) = '' THEN ''
+         ELSE upper(substr(trim(s), 1, 1)) || lower(substr(trim(s), 2))
+    END FROM f20
+  UNION ALL SELECT 'F22', case_id,
+    CASE WHEN bbox IS NULL OR len(bbox) < 4 THEN '0,0'
+         ELSE CAST(CAST((bbox[1] + bbox[3]) / 2 * 10 AS BIGINT) AS VARCHAR)
+              || ',' ||
+              CAST(CAST((bbox[2] + bbox[4]) / 2 * 10 AS BIGINT) AS VARCHAR)
+    END FROM f22
+  UNION ALL SELECT 'P7', case_id, cc FROM p7
+  UNION ALL SELECT 'A2', case_id, CAST(n AS VARCHAR) FROM a2)
+SELECT kernel, CAST(case_id AS BIGINT) AS case_id, result
+FROM u ORDER BY kernel, case_id
+"""
+
+
 def q_translit_cyrillic(spark, sf_dir):
     """F18 generic Any-Latin transliteration (ISO 9 Cyrillic) as an
     oracle-backed query: a fixed city corpus keyed by nation rows, the
@@ -2657,6 +2812,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_pack_shards": q_pack_shards,
     "q_quantile_gate": q_quantile_gate,
+    "q_micro_kernels": q_micro_kernels,
 }
 
 ORACLES = {
@@ -2732,6 +2888,7 @@ ORACLES = {
     "q_cube_revenue": Q_CUBE_REVENUE_SQL,
     "q_running_window": Q_RUNNING_WINDOW_SQL,
     "q_translit_cyrillic": Q_TRANSLIT_CYRILLIC_SQL,
+    "q_micro_kernels": _micro_kernels_sql,
 }
 
 

@@ -341,6 +341,47 @@ def udf_streetname(rid: pd.Series, tags: pd.Series, target: pd.Series,
         sep.tolist(), lon.tolist(), lat.tolist(), "streetname"))
 
 
+# ------------------------------------------------------------------
+# micro-kernel UDFs (exercised by the q_micro_kernels gate query —
+# each wraps one few-line pure kernel so it carries its own oracle row)
+@pandas_udf(StringType())
+def udf_langcode_from_tag(t: pd.Series) -> pd.Series:
+    """P8: last ':'-separated non-empty tag segment, NULL when no ':'
+    (get_localized_name_from_tags.lua:44-52)."""
+    return pd.Series([_names.langcode_from_tag(x) for x in t],
+                     dtype=object)
+
+
+@pandas_udf(StringType())
+def udf_sorted_rm_tags(arr: pd.Series) -> pd.Series:
+    """W2: deterministic (sorted) romanization-tag scan order
+    (get_localized_name_from_tags.lua:181), '|'-joined for transport."""
+    return pd.Series(
+        ["|".join(_names._sorted_rm_tags(dict.fromkeys(list(a))))
+         for a in arr], dtype=object)
+
+
+@pandas_udf(StringType())
+def udf_capitalize_strip(s: pd.Series) -> pd.Series:
+    """F20: per-token strip + capitalize + space-join via the kanji
+    transcript kernel (geo-transcript-srv.py:155-158); a latin-only
+    string is a single token, so this IS strip().capitalize()."""
+    return pd.Series([_translit.kanji_transcript(x) for x in s],
+                     dtype=object)
+
+
+@pandas_udf(StringType())
+def udf_centroid_quirk10(b: pd.Series) -> pd.Series:
+    """F22: bbox → centroid with the reference degradation quirks
+    (geo_transcript.lua:19-35); formatted as 'lon*10,lat*10' integers
+    so the oracle compare is exact-decimal (gate inputs are .5-steps)."""
+    out = []
+    for place in b:
+        lon, lat = _centroid_quirk(place)
+        out.append(f"{int(lon * 10)},{int(lat * 10)}")
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(ArrayType(StringType()))
 def udf_country_name(tags: pd.Series, target: pd.Series,
                      append: pd.Series) -> pd.Series:
