@@ -529,6 +529,58 @@ FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def q_curate_stream_neardup(spark, sf_dir):
+    """Streaming cross-batch NEAR-dup curation ≡ batch, contract-proven:
+    the SAME planted chain corpus as q_curate_neardup flows through
+    curate_stream(near_dup='minhash') as TWO micro-batches and the
+    committed output matches the SAME DuckDB oracle — one oracle, three
+    plans (batch, and now stream with the persistent NearDupStore).
+    The epoch split is an id THRESHOLD (epoch0: bases + v1 of doc<10;
+    epoch1: v1 of 10-19 + every v2), i.e. arrival-ordered ids — the
+    regime where first-survivor streaming semantics is EXACTLY the
+    batch min-id rule (streaming/neardup.py module doc) — and it cuts
+    the chains at every route: within-epoch closure (base~v1 both in
+    epoch0), store-taint (v1 arriving after its base committed), and
+    tainted-component (v2 pairing its same-epoch v1 which pairs the
+    store).  Cross-epoch EXACT dups need no separate stage here: they
+    are jaccard-1.0 near-dups and die in the store."""
+    import os
+    import tempfile
+    import uuid
+
+    from .engine.snapshots import SnapshotStore
+    from .streaming.incremental import curate_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 500)
+    planted = d.unionAll(
+        d.select((F.col("doc_id") + 400000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+        .filter(F.col("doc_id") < 400020)) \
+        .unionAll(
+        d.select((F.col("doc_id") + 500000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" zz zz")).alias("text"))
+        .filter(F.col("doc_id") < 500020))
+    run = os.path.join(tempfile.gettempdir(),
+                       "osml10n_gate_csneardup_" + uuid.uuid4().hex[:12])
+    src = os.path.join(run, "src")
+    planted.filter(F.col("doc_id") < 400010).coalesce(1).write.parquet(src)
+    planted.filter(F.col("doc_id") >= 400010).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(planted.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sq = curate_stream(stream, os.path.join(run, "store"),
+                       checkpoint_dir=os.path.join(run, "ckpt"),
+                       near_dup="minhash")
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    out = SnapshotStore(os.path.join(run, "store")).committed_output(spark)
+    return out.select("doc_id", F.col("quality.words").alias("words"),
+                      F.col("repetition").alias("repetition"), "lang")
+
+
 def q_unaccent(spark, sf_dir):
     """F1 unaccent kernel vs DuckDB strip_accents (same decomposition
     semantics on latin corpora; ß preserved on both sides)."""
@@ -2809,6 +2861,7 @@ QUERIES = {
     "q_audio_dups": q_audio_dups,
     "q_dup_components": q_dup_components,
     "q_curate_neardup": q_curate_neardup,
+    "q_curate_stream_neardup": q_curate_stream_neardup,
     "q_stratified_sample": q_stratified_sample,
     "q_pack_shards": q_pack_shards,
     "q_quantile_gate": q_quantile_gate,
@@ -2818,6 +2871,7 @@ QUERIES = {
 ORACLES = {
     "q_dup_components": Q_DUP_COMPONENTS_SQL,
     "q_curate_neardup": Q_CURATE_NEARDUP_SQL,
+    "q_curate_stream_neardup": Q_CURATE_NEARDUP_SQL,  # stream ≡ batch
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_pack_shards": Q_PACK_SHARDS_SQL,
     "q_quantile_gate": Q_QUANTILE_GATE_SQL,

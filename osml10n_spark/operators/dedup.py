@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "normalize_text", "exact_dedup", "shingles", "minhash_signature",
-    "minhash_dup_pairs", "ngram_jaccard_pairs", "simhash64",
+    "minhash_dup_pairs", "minhash_pairs_incremental",
+    "ngram_jaccard_pairs", "simhash64",
     "simhash_dup_pairs", "hash_dup_pairs", "embedding_dups",
     "dup_components",
 ]
@@ -146,6 +147,78 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.col("b.doc_id").alias("b_id"),
                     (inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_pairs_incremental(new_df: DataFrame, all_df: DataFrame,
+                              id_col: str, text_col: str,
+                              n: int = 5, bands: int = 8,
+                              min_band_matches: int = 2,
+                              jaccard_threshold: float = 0.6,
+                              sig_all: DataFrame | None = None) -> DataFrame:
+    """LSH near-dup pairs INVOLVING AT LEAST ONE row of ``new_df``
+    (which must be a subset of ``all_df`` by id) — the streaming /
+    incremental-ingest shape: each epoch band-joins only its NEW docs
+    against the corpus instead of recomputing the full all-vs-all
+    join, and the union of per-epoch results over a growing corpus
+    equals ``minhash_dup_pairs`` over the final corpus (every pair is
+    found exactly once, when its later-arriving member lands —
+    tests/test_streaming_neardup.py pins the equivalence).
+
+    Join condition: for new-vs-new candidates only the a<b side
+    survives (both sides appear in ``new_df``, so the mirrored match
+    would double band_matches); new-vs-old candidates match in either
+    id order and are emitted as (least, greatest).  Scale shape: one
+    band-bucket equi-join whose left side is the epoch only;
+    verification touches candidate pairs only.
+
+    ``sig_all`` (optional): precomputed (doc_id, band, minhash)
+    signatures covering every ``all_df`` row — a streaming job passes
+    its persisted SIGNATURE STORE here so the corpus side is a parquet
+    scan instead of an O(corpus) re-hash per epoch (the epoch's own
+    signatures are always recomputed — epoch-sized, cheap)."""
+    sig_new = minhash_signature(new_df, id_col, text_col, n, bands) \
+        .withColumnRenamed("doc_id", "n_id")
+    new_ids = new_df.select(F.col(id_col).alias("o_id")) \
+        .withColumn("o_is_new", F.lit(True))
+    if sig_all is None:
+        sig_all = minhash_signature(all_df, id_col, text_col, n, bands)
+    sig_all = (sig_all.select(F.col("doc_id").alias("o_id"),
+                              "band", "minhash")
+               .join(new_ids, "o_id", "left")
+               .withColumn("o_is_new",
+                           F.coalesce(F.col("o_is_new"), F.lit(False))))
+    cand = (sig_new.join(
+        sig_all,
+        (sig_new["band"] == sig_all["band"])
+        & (sig_new["minhash"] == sig_all["minhash"])
+        & ((F.col("n_id") < F.col("o_id"))
+           | (~F.col("o_is_new") & (F.col("n_id") != F.col("o_id")))))
+        .groupBy(F.least("n_id", "o_id").alias("a_id"),
+                 F.greatest("n_id", "o_id").alias("b_id"))
+        .agg(F.count("*").alias("band_matches"))
+        .filter(F.col("band_matches") >= min_band_matches))
+    # verification shingles ONLY for docs in a candidate pair: the
+    # batch operator shingles its whole (epoch-sized) input, but here
+    # all_df is the ENTIRE corpus — semi-joining the tiny candidate id
+    # set first (AQE broadcasts it) keeps the per-epoch verify cost
+    # proportional to candidates, not corpus
+    cand_ids = (cand.select(F.col("a_id").alias("doc_id"))
+                .union(cand.select(F.col("b_id").alias("doc_id")))
+                .distinct())
+    sh = (all_df.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("_t"))
+          .join(cand_ids, "doc_id", "left_semi")
+          .select("doc_id", shingles(F.col("_t"), n).alias("sh")))
+    withs = (cand
+             .join(sh.withColumnRenamed("doc_id", "a_id")
+                     .withColumnRenamed("sh", "a_sh"), "a_id")
+             .join(sh.withColumnRenamed("doc_id", "b_id")
+                     .withColumnRenamed("sh", "b_sh"), "b_id"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    return (withs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("a_id", "b_id", "band_matches", "jaccard"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
