@@ -1265,14 +1265,16 @@ def q_payload_audit(spark, sf_dir):
     so the gate record carries the invariant VALUE, not just a count
     (whole-frame window: fine at gate scale, 300 rows).  Every 4th row
     is re-containered as REAL PNG (zlib/CRC/filter codec) — its ok
-    flag demands decoded-phash equality like any lossless format, so
-    the spec codec is value-audited in-gate, not just pytest-gated.
+    flag demands decoded-phash equality like any lossless format — and
+    every 5th as REAL baseline JPEG (jpegcodec.py DCT+Huffman; lossy,
+    so its ok flag is decode viability like jpegq) — both spec codecs
+    value-audited in-gate, not just pytest-gated.
     FULL replay-literal oracle: DuckDB re-derives ok from
     independently-replayed (stored phash, decoded phash) literal pairs
     — the ok logic itself runs in SQL, not just an echo."""
     from .operators.multimodal import verify_payload
     from .sources.datagen import generate_images
-    imgs = generate_images(spark, 300, seed=7, png_every=4)
+    imgs = generate_images(spark, 300, seed=7, png_every=4, jpeg_every=5)
     w = Window.partitionBy(F.lit(1))
     return verify_payload(imgs).select(
         "image_id", "fmt", "ok",
@@ -2480,7 +2482,8 @@ def _image_dups_sql() -> str:
 Q_IMAGE_DUPS_SQL = _image_dups_sql()
 
 
-def _replay_images(seed: int, n: int, png_every: int | None = None):
+def _replay_images(seed: int, n: int, png_every: int | None = None,
+                   jpeg_every: int | None = None):
     """Driver-side (no Spark) replay of generate_images' per-row
     payloads — shared ground truth for the multimodal replay-literal
     oracles.  Returns (image_id, fmt, pixels, payload_bytes,
@@ -2494,6 +2497,8 @@ def _replay_images(seed: int, n: int, png_every: int | None = None):
         _w, _h, fmt, pix = visual_for_id(seed, i, 0.0)
         if png_every and i % png_every == 0:
             fmt = "png"
+        if jpeg_every and i % jpeg_every == 0:   # jpeg wins an overlap
+            fmt = "jpeg"
         out.append((f"img_{i:012d}", fmt, pix, encode_image(pix, fmt),
                     phash64(pix)))
     return out
@@ -2531,14 +2536,15 @@ def _payload_audit_sql() -> str:
     decoded AND (lossy-fmt OR phash equality) — runs in SQL."""
     from .imaging import decode_image, phash64
     rows = []
-    for rid, fmt, _pix, data, ph in _replay_images(7, 300, png_every=4):
+    for rid, fmt, _pix, data, ph in _replay_images(7, 300, png_every=4,
+                                                   jpeg_every=5):
         dec_ph = phash64(decode_image(data, fmt))
         rows.append(f"('{rid}', '{fmt}', {ph}::BIGINT, {dec_ph}::BIGINT)")
     vals = ",\n".join(rows)
     return f"""
 WITH t(image_id, fmt, phash, phash_check) AS (VALUES {vals}),
 o AS (SELECT image_id, fmt,
-        (fmt = 'jpegq' OR phash_check = phash) AS ok
+        (fmt IN ('jpegq', 'jpeg') OR phash_check = phash) AS ok
       FROM t)
 SELECT image_id, fmt, ok,
   round(avg(CAST(ok AS DOUBLE)) OVER (), 4) AS ok_frac

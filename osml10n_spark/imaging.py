@@ -13,6 +13,10 @@ Formats (all self-contained, no PIL in the sandbox):
   scanline unfiltering (all five filter types 0–4 incl. Paeth — the
   encoder emits filter 0, the decoder inverts any conformant stream).
   Pure stdlib zlib + numpy, lossless.
+- ``jpeg``/``jpg`` : REAL baseline sequential JFIF (jpegcodec.py):
+  Annex-K-quantized 8×8 DCT + canonical Huffman entropy coding, full
+  marker stream, restart-interval support.  Lossy — default quality
+  keeps round-trip PSNR ≥ 40dB even on uniform noise.
 
 phash: 64-bit perceptual hash (8×8 mean-threshold of the grayscale
 image, row-major bits) — deterministic, numpy-only.
@@ -191,10 +195,20 @@ def _decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3).copy()
 
 
+def _encode_jpeg(pix: np.ndarray) -> bytes:
+    from .jpegcodec import encode_jpeg
+    return encode_jpeg(pix)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from .jpegcodec import decode_jpeg
+    return decode_jpeg(data)
+
+
 _ENCODERS = {"bmp": _encode_bmp, "raw": _encode_raw, "jpegq": _encode_jpegq,
-             "png": _encode_png}
+             "png": _encode_png, "jpeg": _encode_jpeg, "jpg": _encode_jpeg}
 _DECODERS = {"bmp": _decode_bmp, "raw": _decode_raw, "jpegq": _decode_jpegq,
-             "png": _decode_png}
+             "png": _decode_png, "jpeg": _decode_jpeg, "jpg": _decode_jpeg}
 
 
 def encode_image(pix: np.ndarray, fmt: str) -> bytes:

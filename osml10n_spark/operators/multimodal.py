@@ -27,10 +27,11 @@ FEATURES_DDL = ("image_id string, fmt string, mean_r double, mean_g double, "
                 "mean_b double, brightness double, phash_check long, "
                 "decoded boolean")
 
-_REAL_WORLD_FMTS = {"jpeg", "jpg", "webp", "gif", "mp3", "wav", "mp4"}
-# png left this set in round 4: imaging.py now ships a real
-# spec-conformant PNG codec (zlib IDAT, CRC chunk walk, all 5 scanline
-# filters) — like wav before it (audioops), another stub became real
+_REAL_WORLD_FMTS = {"webp", "gif", "mp3", "wav", "mp4"}
+# png left this set in round 4 (spec-conformant zlib/CRC/filter codec
+# in imaging.py), jpeg/jpg in round 5 (real baseline JFIF DCT+Huffman
+# codec in jpegcodec.py) — like wav before them (audioops), stubs that
+# became real pure-python codecs
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:
@@ -68,13 +69,15 @@ def image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
 def verify_payload(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Integrity audit: decoded phash must equal the stored phash for
-    lossless formats; jpegq rows must decode with PSNR-compatible shape.
+    lossless formats; lossy rows (jpegq, and real jpeg/jpg since the
+    phash of a ≥40dB reconstruction can still flip near-threshold
+    bits) must decode with PSNR-compatible shape.
     Returns (image_id, fmt, ok)."""
     feats = image_features(df, id_col)
     src = df.select(F.col(id_col), F.col("phash"), F.col("w"), F.col("h"),
                     F.col("fmt").alias("src_fmt"))
     joined = feats.join(src, id_col)
-    ok = (F.col("decoded") & ((F.col("fmt") == "jpegq")
+    ok = (F.col("decoded") & (F.col("fmt").isin("jpegq", "jpeg", "jpg")
                               | (F.col("phash_check") == F.col("phash"))))
     return joined.select(id_col, "fmt", ok.alias("ok"))
 

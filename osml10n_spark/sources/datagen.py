@@ -207,19 +207,24 @@ def audio_for_id(seed: int, i: int,
 
 def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,
               near_dup_frac: float = 0.0,
-              png_every: int | None = None) -> pd.DataFrame:
+              png_every: int | None = None,
+              jpeg_every: int | None = None) -> pd.DataFrame:
     rows = []
     for i in ids:
         rng = np.random.default_rng([seed, int(i)])
         cap, tags, lon, lat = caption_for(rng)
         if with_images:
             w, h, fmt, pix = visual_for_id(seed, int(i), near_dup_frac)
-            # png re-encode keyed on the row ID, not an rng draw, so
-            # the draw sequence (and every non-png row) stays
-            # byte-identical to png_every=None datasets; the pixels
-            # (and hence phash) are unchanged — only the container is
+            # png/jpeg re-encode keyed on the row ID, not an rng draw,
+            # so the draw sequence (and every untouched row) stays
+            # byte-identical to *_every=None datasets; the SOURCE
+            # pixels (and hence the stored phash) are unchanged — only
+            # the container is (jpeg wins an overlap; it is lossy, so
+            # decoded pixels approximate the stored phash's source)
             if png_every and int(i) % png_every == 0:
                 fmt = "png"
+            if jpeg_every and int(i) % jpeg_every == 0:
+                fmt = "jpeg"
             data = encode_image(pix, fmt)
             ph = phash64(pix)
         else:
@@ -235,14 +240,17 @@ def _gen_rows(ids: np.ndarray, seed: int, with_images: bool,
 def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
                     partitions: int | None = None,
                     near_dup_frac: float = 0.0,
-                    png_every: int | None = None):
+                    png_every: int | None = None,
+                    jpeg_every: int | None = None):
     """Distributed deterministic generation of the input table.
     ``near_dup_frac`` > 0 makes that fraction of images slight
     perturbations of earlier images (see visual_for_id) for the
     near-duplicate-image detection surface.  ``png_every=k`` re-encodes
     every k-th row's pixels as real PNG (same pixels/phash, different
     container) — exercises the spec-conformant zlib codec path without
-    perturbing any other row."""
+    perturbing any other row; ``jpeg_every=k`` likewise re-encodes as
+    real baseline JFIF (lossy — stored phash still keyed to the source
+    pixels; jpeg wins when both hooks hit one row)."""
     if partitions is None:
         partitions = max(int(spark.sparkContext.defaultParallelism), 4)
     rng_rows = spark.range(0, n, 1, partitions)
@@ -250,6 +258,6 @@ def generate_images(spark, n: int, seed: int = 42, with_images: bool = True,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _gen_rows(pdf["id"].to_numpy(), seed, with_images,
-                            near_dup_frac, png_every)
+                            near_dup_frac, png_every, jpeg_every)
 
     return rng_rows.mapInPandas(gen, schema=IMAGES_DDL)

@@ -170,6 +170,88 @@ def test_png_codec_roundtrip_and_filter_inversion():
             decode_image(enc[:cut], "png")
 
 
+def test_jpeg_codec_psnr_above_40db():
+    """Real baseline-JFIF codec (jpegcodec.py): every datagen visual
+    AND a uniform-noise worst case round-trip at PSNR ≥ 40dB at the
+    default quality; non-multiple-of-8 dims handled; flat images come
+    back exact; the bitstream is a real marker stream (SOI/DQT/SOF0/
+    DHT/SOS markers present, byte-stuffed entropy data)."""
+    import numpy as np
+
+    from osml10n_spark.imaging import encode_image
+    from osml10n_spark.sources.datagen import visual_for_id
+
+    for i in range(12):
+        _w, _h, _f, pix = visual_for_id(31, i, 0.0)
+        enc = encode_image(pix, "jpeg")
+        dec = decode_image(enc, "jpeg")
+        assert dec.shape == pix.shape
+        assert psnr(pix, dec) >= 40.0
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(61, 53, 3), dtype=np.uint8)  # non-×8
+    enc = encode_image(noise, "jpeg")
+    assert psnr(noise, decode_image(enc, "jpg")) >= 40.0
+    for marker in (b"\xff\xd8", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4",
+                   b"\xff\xda", b"\xff\xd9"):
+        assert marker in enc
+    flat = np.full((24, 16, 3), 130, np.uint8)
+    assert (decode_image(encode_image(flat, "jpeg"), "jpeg") == flat).all()
+
+
+def test_jpeg_decoder_rejects_unsupported_and_corrupt():
+    """Subset policy mirrors the PNG decoder: explicit ValueError on
+    progressive/subsampled/truncated streams, never struct.error."""
+    import numpy as np
+
+    from osml10n_spark.imaging import encode_image
+
+    pix = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    enc = bytearray(encode_image(pix, "jpeg"))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_image(b"\x00\x01" + bytes(enc[2:]), "jpeg")
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2                      # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_image(bytes(prog), "jpeg")
+    sub = bytearray(enc)
+    # component 1 sampling byte inside SOF0: len(2)+prec(1)+dims(4)+nc(1)
+    sub[sof + 2 + 8 + 1] = 0x22               # pretend 4:2:0
+    with pytest.raises(ValueError, match="sampling"):
+        decode_image(bytes(sub), "jpeg")
+    for cut in (len(enc) // 2, 6, 30):
+        with pytest.raises(ValueError):
+            decode_image(bytes(enc[:cut]), "jpeg")
+
+
+def test_generate_images_jpeg_every_keeps_draws_stable(spark):
+    """jpeg_every re-containers every k-th row as real lossy JPEG: the
+    stored phash stays keyed to the SOURCE pixels (column unchanged vs
+    the default corpus), decoded pixels reconstruct at ≥40dB, and
+    every other row is byte-identical to the default corpus."""
+    import numpy as np
+
+    from osml10n_spark.sources.datagen import generate_images, visual_for_id
+
+    base = {r.image_id: (r.fmt, r.phash, bytes(r.bytes))
+            for r in generate_images(spark, 30, seed=11).collect()}
+    rows = generate_images(spark, 30, seed=11, jpeg_every=5).collect()
+    n_jpeg = 0
+    for r in rows:
+        assert r.phash == base[r.image_id][1]
+        rid = int(r.image_id.split("_")[1])
+        if rid % 5 == 0:
+            assert r.fmt == "jpeg"
+            n_jpeg += 1
+            dec = decode_image(bytes(r.bytes), "jpeg")
+            _w, _h, _f, src = visual_for_id(11, rid, 0.0)
+            assert psnr(src, dec) >= 40.0
+        else:
+            assert (r.fmt, bytes(r.bytes)) == \
+                (base[r.image_id][0], base[r.image_id][2])
+    assert n_jpeg == 6
+
+
 def test_generate_images_png_every_preserves_pixels(spark):
     """png_every re-containers every k-th row as real PNG without
     touching pixels: phash column unchanged vs the default corpus, and
