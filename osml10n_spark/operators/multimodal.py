@@ -2,11 +2,17 @@
 binary payload columns with typed metadata.
 
 The Spark-side plumbing (schema, Arrow batch shape, partitioning) is
-real and tested against the engine's own pure-numpy codecs (bmp / raw /
-jpegq).  Real-world codecs (jpeg/png/webp, audio, video) are STUBBED —
-the sandbox has no PIL/ffmpeg — behind ``NotImplementedError`` with the
-exact same UDF signature, so swapping a real decoder in changes one
-function, not the plan.
+real and tested against the engine's own pure-python codecs (bmp / raw
+/ jpegq / png / jpeg — the latter two REAL spec codecs, see imaging.py
+and jpegcodec.py).  The remaining real-world codecs (webp/gif, mp3,
+mp4) are STUBBED — the sandbox has no PIL/ffmpeg — behind
+``NotImplementedError`` with the exact same UDF signature, so swapping
+a real decoder in changes one function, not the plan.
+
+Error policy: a STUB format and a CORRUPT payload both surface as
+``decoded=false`` rows (NotImplementedError / ValueError respectively)
+— one malformed byte string must degrade one row, never kill a 100-TB
+scan stage.
 """
 from __future__ import annotations
 
@@ -57,7 +63,7 @@ def image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
                     out.append((rid, fmt, float(means[0]), float(means[1]),
                                 float(means[2]), float(means.mean()),
                                 phash64(pix), True))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out.append((rid, fmt, None, None, None, None, None, False))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "mean_r",
                                              "mean_g", "mean_b", "brightness",
@@ -126,7 +132,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                     res = _bilinear_resize(pix, out_h, out_w)
                     out.append((rid, fmt, encode_image(res, fmt),
                                 out_w, out_h, phash64(res), True))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out.append((rid, fmt, None, None, None, None, False))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "bytes",
                                              "w", "h", "phash", "ok"],
@@ -176,7 +182,7 @@ def sample_frames(df: DataFrame, every_k: int = 2,
             for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
                 try:
                     frames = _split_frames(bytes(data), fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue                 # undecodable container: drop
                 for idx in range(0, frames.shape[0], every_k):
                     f = frames[idx]
@@ -250,7 +256,7 @@ def audio_features(df: DataFrame, id_col: str = "audio_id") -> DataFrame:
                                  != np.signbit(mono[:-1])).mean())
                     out.append((rid, fmt, samples.shape[0] / sr, sr, rms,
                                 zcr, fingerprint64(samples), True))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out.append((rid, fmt, None, None, None, None, None,
                                 False))
             yield pd.DataFrame(out, columns=["audio_id", "fmt",

@@ -433,10 +433,14 @@ def test_multimodal_features(spark):
 
 
 def test_multimodal_stub_path(spark):
-    df = spark.createDataFrame([("x1", bytearray(b"\xff\xd8\xff"), "jpeg")],
-                               "image_id string, bytes binary, fmt string")
-    rows = image_features(df).collect()
-    assert rows[0].decoded is False       # stubbed decoder, plumbing intact
+    df = spark.createDataFrame(
+        [("x1", bytearray(b"\xff\xd8\xff"), "jpeg"),   # corrupt REAL codec
+         ("x2", bytearray(b"RIFF...."), "webp")],        # declared stub
+        "image_id string, bytes binary, fmt string")
+    rows = {r.image_id: r for r in image_features(df).collect()}
+    # both degrade to decoded=false rows — a corrupt payload or a
+    # stubbed format must never kill the scan stage
+    assert rows["x1"].decoded is False and rows["x2"].decoded is False
 
 
 def test_ivf_self_match(spark):
@@ -712,7 +716,7 @@ def test_multimodal_resize(spark):
     # Spark plumbing: engine fmts resize+re-encode, dims update
     rows = [("a", encode_image(grad, "bmp"), "bmp"),
             ("b", encode_image(grad, "raw"), "raw"),
-            ("c", b"\xff\xd8junk", "jpeg")]          # stubbed real-world
+            ("c", b"\xff\xd8junk", "jpeg")]          # corrupt jpeg payload
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     out = {r.image_id: r for r in resize_images(df, 16, 12).collect()}
     assert out["a"].ok and out["a"].w == 16 and out["a"].h == 12
