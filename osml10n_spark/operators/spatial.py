@@ -25,8 +25,15 @@ __all__ = [
     "assign_country", "assign_cells", "assign_tiles",
     "knn_geo", "knn_geo_bq", "knn_cells", "cell_histogram", "salted_key",
     "radius_join", "pip_join_rects", "pip_join_via_cover",
-    "polygon_cover_table",
+    "polygon_cover_table", "KNN_LAST_RUN",
 ]
+
+# Observability for the iterative kNN (driver-side, overwritten per
+# call): rounds run, per-round still-pending counts, stragglers routed
+# to brute force, initial ring.  A production job logs/emits this dict
+# per stage — convergence-in-1-round vs 4 is THE constant factor of
+# this operator, and it is invisible in the physical plan.
+KNN_LAST_RUN: dict = {}
 
 
 def assign_country(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
@@ -299,7 +306,21 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
         # subquery — the broadcast subtree executes before items_c is
         # cached, so the histogram recomputes against raw input and the
         # "saved" job comes back as an eager broadcast build; measured
-        # min-of-6 regressed 4.5s → 6.7s.)
+        # min-of-6 regressed 4.5s → 6.7s.  ALSO A/B-ed and REJECTED,
+        # round 5: PER-QUERY initial rings from a histogram join —
+        # probing each query's ring-1 neighborhood count and shrinking
+        # its ring to what local density supports.  It cut round-1
+        # candidates 9.5M → ~1.9M at sf0.1, but the machinery lost
+        # more than the smaller sort saved THREE separate ways: the
+        # hist join inflated size estimates and flipped ring_cells off
+        # the broadcast side into a hotspot-skewed shuffle join
+        # (6s → 20s, 63+1-task tails); fixing that with an eager
+        # localCheckpoint added a job and pinned pending to AQE's
+        # 1-partition coalesce, serializing the fan-out; and a
+        # 1-in-1000 shrunk query failed its guard, waking the whole
+        # brute-force-fallback job chain.  Best case 12s vs the 5.4s
+        # baseline in the same host window.  The guard-radius filter
+        # below gets the volume win with zero new jobs.)
         occ = (items_c.groupBy("i_cell").agg(F.count("*").alias("cn"))
                .agg(F.sum("cn").alias("n"), F.count("*").alias("c"),
                     F.stddev_pop("cn").alias("sd")).collect()[0])
@@ -311,6 +332,10 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
             ring += 1
     pending = pending.withColumn("ring", F.lit(ring))
     cur_max_ring = ring           # driver-tracked bound → static offsets
+    KNN_LAST_RUN.clear()
+    KNN_LAST_RUN.update({"initial_ring": ring, "rounds": 0,
+                         "pending_after_round": [], "stragglers": 0,
+                         "fallback_queries": 0})
 
     MAX_RING = 24                          # beyond this → brute force
     # below this many pending queries another cell round costs more in
@@ -345,7 +370,20 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
                 .select(F.col("qid"), F.col("iid"), F.col("ring"),
                         _sq_dist(F.col("q_lon"), F.col("q_lat"),
                                  F.col("i_lon"), F.col("i_lat"))
-                        .alias("dist2")))
+                        .alias("dist2"))
+                # guard-radius pre-filter: a candidate with dist2 >
+                # (ring·cell)² can never be part of a PROVEN top-k —
+                # done-ness requires kth ≤ guard, and then all true
+                # top-k members are ≤ kth ≤ guard, so none were
+                # dropped; an unproven query contributes nothing this
+                # round anyway.  Row-level filter inside the same
+                # codegen stage (no new job, no plan-shape change)
+                # that halves the window-sort input at sf0.1 (ring-2
+                # circle vs 5×5 square: π·4/25).  Cost: a query with
+                # <k in-guard candidates re-rings ×4 (the starved
+                # path) instead of the kth-informed jump — its true
+                # kth is no longer observable this round.
+                .filter(F.col("dist2") <= guard))
         # ONE shuffle by qid serves rank, per-query count and kth: the
         # unordered window reuses the rank window's partitioning (no
         # extra exchange, no separate groupBy+join-back, no broadcast)
@@ -392,6 +430,9 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
         ).collect()[0]
         n_strag_total += int(stat.ns)
         n_before, n_pending = n_pending, stat.n
+        KNN_LAST_RUN["rounds"] = rnd + 1
+        KNN_LAST_RUN["pending_after_round"].append(int(stat.n))
+        KNN_LAST_RUN["stragglers"] = n_strag_total
         cur_max_ring = int(stat.mr) if stat.mr is not None else 1
         pending.unpersist()
         defer_unpersist.append(unresolved)   # stragglers still reference it
@@ -408,6 +449,7 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     # counts tracked driver-side during the rounds (isEmpty would be an
     # extra job); n_pending is None only if the loop never ran
     n_left = None if n_pending is None else n_pending + n_strag_total
+    KNN_LAST_RUN["fallback_queries"] = n_left if n_left is not None else -1
     if (n_left is None and not leftovers.isEmpty()) or (n_left or 0) > 0:
         # isolated/sparse-region queries: brute-force against all items.
         # A bounded residue takes the broadcast-queries partial-top-k
