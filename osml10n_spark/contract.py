@@ -2235,6 +2235,41 @@ def q_ann_ivf(spark, sf_dir):
     return _ann_recall(ann, exact, 3, per_query_floor=0.9, mean_floor=0.9)
 
 
+def q_ann_ivf_persist(spark, sf_dir):
+    """Persistent IVF index (build → parquet inverted lists partitioned
+    by centroid id → load → partition-pruned search): the on-disk path
+    must return IDENTICAL neighbors to the one-shot ivf_topk (same
+    deterministic centroid pick, assignment, refine), so it shares
+    q_ann_ivf's oracle — DuckDB re-derives the _clustered_vectors AND
+    the exact top-k, and the recall floors are value-pinned.  The
+    load() leg additionally proves the round-trip through parquet
+    (centroid literals + cid-partitioned lists) loses nothing."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.similarity import IVFIndex
+    e = _t(spark, sf_dir, "embeddings")
+    cl = _clustered_vectors(e)
+    q = cl.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    items = cl.select(F.col("vec_id").alias("iid"), "embedding")
+    path = os.path.join(tempfile.gettempdir(),
+                        "osml10n_gate_ivfidx_" + uuid.uuid4().hex[:12])
+    try:
+        IVFIndex.build(items, path, n_centroids=16)
+        idx = IVFIndex.load(spark, path)
+        ann = idx.search(q, 3, nprobe=4)
+        exact = cosine_topk(q, items, 3)
+        out = _ann_recall(ann, exact, 3, per_query_floor=0.9,
+                          mean_floor=0.9)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 Q_ANN_IVF_SQL = """
 WITH cl AS (SELECT vec_id,
   list_transform(range(0, 16), j ->
@@ -2843,6 +2878,7 @@ QUERIES = {
     "q_embedding_dups": q_embedding_dups,
     "q_session_events": q_session_events,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_ivf_persist": q_ann_ivf_persist,
     "q_image_features": q_image_features,
     "q_payload_audit": q_payload_audit,
     "q_write_tiled": q_write_tiled,
@@ -2883,6 +2919,7 @@ ORACLES = {
     "q_quantile_gate": Q_QUANTILE_GATE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_ivf": Q_ANN_IVF_SQL,
+    "q_ann_ivf_persist": Q_ANN_IVF_SQL,  # search ≡ ivf_topk by design
     "q_image_dups": Q_IMAGE_DUPS_SQL,
     "q_frame_dups": Q_FRAME_DUPS_SQL,
     "q_audio_dups": Q_AUDIO_DUPS_SQL,

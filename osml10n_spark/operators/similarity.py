@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cell_embedding_profile"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "IVFIndex",
+           "cell_embedding_profile"]
 
 
 def _dot(a, b):
@@ -106,6 +107,39 @@ def lsh_topk(queries: DataFrame, items: DataFrame, k: int, dim: int,
             .select("qid", "iid", "cosine", "rank"))
 
 
+def _pick_centroids(i: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` items with
+    the smallest id hash — orderBy().limit() is a distributed
+    TakeOrdered reduction; the tiny result is collected and rebuilt as
+    a literal DataFrame (the daemon's prepared-at-startup dimension
+    idiom), so nothing downstream depends on a cached lineage and no
+    persist can leak executor storage across calls.  ``i`` must carry
+    (iid, i_vec, i_nrm)."""
+    picked = i.orderBy(F.xxhash64("iid").asc(), F.col("iid").asc()) \
+        .limit(n_centroids).collect()
+    picked.sort(key=lambda r: r.iid)
+    return i.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in r.i_vec], float(r.i_nrm))
+         for cid, r in enumerate(picked)],
+        "cid long, c_vec array<double>, c_nrm double")
+
+
+def _assign_centroids(df: DataFrame, cents: DataFrame, vec: str, nrm: str,
+                      keep: int) -> DataFrame:
+    """Nearest ``keep`` centroids by cosine (broadcast centroid dim).
+    The window partitions by the frame's id column (its first
+    non-centroid column)."""
+    sim = _dot(F.col(vec), F.col("c_vec")) / (F.col(nrm) * F.col("c_nrm"))
+    w = Window.partitionBy(*[c for c in df.columns if c not in
+                             ("c_vec", "c_nrm", "cid")][:1]) \
+        .orderBy(F.col("_csim").desc(), F.col("cid").asc())
+    return (df.crossJoin(F.broadcast(cents))
+            .withColumn("_csim", sim)
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .drop("c_vec", "c_nrm", "_csim", "_crank"))
+
+
 def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
              n_centroids: int = 16, nprobe: int = 2,
              qid_col: str = "qid", iid_col: str = "iid",
@@ -127,38 +161,12 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
     i = items.select(F.col(iid_col).alias("iid"),
                      F.col(vec_col).alias("i_vec")) \
         .withColumn("i_nrm", _norm(F.col("i_vec")))
-    # deterministic coarse centroids: the n_centroids items with the
-    # smallest id hash — orderBy().limit() is a distributed TakeOrdered
-    # reduction; the tiny result is collected and rebuilt as a literal
-    # DataFrame (the daemon's prepared-at-startup dimension idiom), so
-    # nothing downstream depends on a cached lineage and no persist can
-    # leak executor storage across calls (callers cache the RESULT if
-    # they reuse it)
-    picked = i.orderBy(F.xxhash64("iid").asc(), F.col("iid").asc()) \
-        .limit(n_centroids).collect()
-    picked.sort(key=lambda r: r.iid)
-    cents = items.sparkSession.createDataFrame(
-        [(cid, [float(x) for x in r.i_vec], float(r.i_nrm))
-         for cid, r in enumerate(picked)],
-        "cid long, c_vec array<double>, c_nrm double")
-
-    def _assign(df, vec, nrm, keep: int):
-        """nearest ``keep`` centroids by cosine (broadcast centroid dim)."""
-        sim = _dot(F.col(vec), F.col("c_vec")) / (F.col(nrm) * F.col("c_nrm"))
-        w = Window.partitionBy(*[c for c in df.columns if c not in
-                                 ("c_vec", "c_nrm", "cid")][:1]) \
-            .orderBy(F.col("_csim").desc(), F.col("cid").asc())
-        return (df.crossJoin(F.broadcast(cents))
-                .withColumn("_csim", sim)
-                .withColumn("_crank", F.row_number().over(w))
-                .filter(F.col("_crank") <= keep)
-                .drop("c_vec", "c_nrm", "_csim", "_crank"))
-
-    inv = _assign(i, "i_vec", "i_nrm", 1)          # inverted lists
+    cents = _pick_centroids(i, n_centroids)
+    inv = _assign_centroids(i, cents, "i_vec", "i_nrm", 1)  # inverted lists
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("q_vec")) \
         .withColumn("q_nrm", _norm(F.col("q_vec")))
-    probed = _assign(q, "q_vec", "q_nrm", nprobe)
+    probed = _assign_centroids(q, cents, "q_vec", "q_nrm", nprobe)
     cand = probed.join(inv, "cid") \
         .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
                     / (F.col("q_nrm") * F.col("i_nrm")))
@@ -232,3 +240,109 @@ def cell_embedding_profile(df: DataFrame, cell_col: str = "cell_id",
             .applyInPandas(profile,
                            schema="cell long, n long, mean_norm double, "
                                   "top_eig_share double"))
+
+
+class IVFIndex:
+    """Persistent IVF ANN index: build ONCE, probe many times.
+
+    ``ivf_topk`` recomputes centroid selection and the item→centroid
+    assignment on every call — fine for one-shot queries, wrong at
+    corpus scale where the index must amortize.  This class makes the
+    inverted lists a durable, *partition-pruned* artifact:
+
+        {path}/centroids/        (cid, c_vec, c_nrm)       tiny
+        {path}/lists/cid=N/      (iid, i_vec, i_nrm)       parquet,
+                                 partitioned by centroid id
+
+    ``search`` assigns queries to their ``nprobe`` nearest centroids
+    (broadcast — the centroid table is a literal), resolves the probed
+    cid set driver-side (bounded by n_centroids, never by corpus), and
+    reads the lists with ``cid IN (...)`` — a static partition filter,
+    so the scan touches ONLY the probed directories.  At 100 TB that is
+    the difference between scanning the corpus and scanning
+    nprobe/n_centroids of it; the plan's PartitionFilters line proves
+    it (pinned in tests/test_plans.py).
+
+    ``append`` assigns NEW items to the existing centroids and appends
+    to the lists — incremental ingest without a rebuild (centroids stay
+    fixed; recall degrades only if the data distribution drifts, the
+    standard IVF trade).  Search results are IDENTICAL to ``ivf_topk``
+    over the same item set and parameters (same deterministic centroid
+    pick, same assignment, same refine — pinned by test).
+    """
+
+    def __init__(self, spark, path: str, cents: DataFrame):
+        self.spark = spark
+        self.path = path
+        self.cents = cents
+
+    @staticmethod
+    def build(items: DataFrame, path: str, n_centroids: int = 16,
+              iid_col: str = "iid", vec_col: str = "embedding") -> "IVFIndex":
+        """Select centroids, assign every item to its nearest one, and
+        write both as the on-disk index (overwrites ``path``)."""
+        i = items.select(F.col(iid_col).alias("iid"),
+                         F.col(vec_col).alias("i_vec")) \
+            .withColumn("i_nrm", _norm(F.col("i_vec")))
+        cents = _pick_centroids(i, n_centroids)
+        cents.write.mode("overwrite").parquet(path + "/centroids")
+        inv = _assign_centroids(i, cents, "i_vec", "i_nrm", 1)
+        inv.write.mode("overwrite").partitionBy("cid") \
+            .parquet(path + "/lists")
+        return IVFIndex(items.sparkSession, path, cents)
+
+    @staticmethod
+    def load(spark, path: str) -> "IVFIndex":
+        """Re-open an index: the centroid table is tiny — collect and
+        rebuild it as a literal so search plans stay broadcast-clean."""
+        rows = spark.read.parquet(path + "/centroids").collect()
+        rows.sort(key=lambda r: r.cid)
+        cents = spark.createDataFrame(
+            [(r.cid, [float(x) for x in r.c_vec], float(r.c_nrm))
+             for r in rows],
+            "cid long, c_vec array<double>, c_nrm double")
+        return IVFIndex(spark, path, cents)
+
+    def append(self, items: DataFrame, iid_col: str = "iid",
+               vec_col: str = "embedding") -> None:
+        """Assign new items to the EXISTING centroids and append them
+        to the inverted lists (no rebuild)."""
+        i = items.select(F.col(iid_col).alias("iid"),
+                         F.col(vec_col).alias("i_vec")) \
+            .withColumn("i_nrm", _norm(F.col("i_vec")))
+        inv = _assign_centroids(i, self.cents, "i_vec", "i_nrm", 1)
+        inv.write.mode("append").partitionBy("cid") \
+            .parquet(self.path + "/lists")
+
+    def probed_lists(self, queries: DataFrame, nprobe: int = 2,
+                     qid_col: str = "qid",
+                     vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+        """(probed queries, partition-pruned list scan) — the search
+        building blocks, exposed so plan tests can pin the pruning."""
+        q = queries.select(F.col(qid_col).alias("qid"),
+                           F.col(vec_col).alias("q_vec")) \
+            .withColumn("q_nrm", _norm(F.col("q_vec")))
+        probed = _assign_centroids(q, self.cents, "q_vec", "q_nrm", nprobe)
+        # the probed cid set is bounded by n_centroids (a literal-sized
+        # dimension), never by the corpus — one tiny driver job over
+        # the query side, and the static IN filter prunes the list scan
+        # at PLANNING time (no DPP machinery, no runtime subquery)
+        cids = sorted(r.cid for r in probed.select("cid").distinct().collect())
+        lists = self.spark.read.parquet(self.path + "/lists") \
+            .filter(F.col("cid").isin(cids))
+        return probed, lists
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 2,
+               qid_col: str = "qid", vec_col: str = "embedding") -> DataFrame:
+        """Probe → pruned list scan → exact cosine refine → top-k.
+        Output (qid, iid, cosine, rank), identical to ``ivf_topk`` over
+        the same items/params."""
+        probed, lists = self.probed_lists(queries, nprobe, qid_col, vec_col)
+        cand = probed.join(lists, "cid") \
+            .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
+                        / (F.col("q_nrm") * F.col("i_nrm")))
+        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                              F.col("iid").asc())
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "iid", "cosine", "rank"))
