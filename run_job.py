@@ -20,9 +20,19 @@ Examples
       --input /data/images.parquet --store /data/l10n_store --lang en
 
   # corpus curation (dedup → quality gate → lang; + localization when
-  # the input carries lon/lat) over a documents table
+  # the input carries lon/lat) over a documents table; add
+  # --near-dup minhash [--checkpoint-dir hdfs://...] for near-dup
+  # removal via LSH pairs → components → survivor
   spark-submit --py-files osml10n_spark.zip run_job.py \
       --mode curate --input /data/docs.parquet --output /data/kept
+
+  # persistent IVF ANN index: build once, probe many (partition-pruned)
+  spark-submit --py-files osml10n_spark.zip run_job.py \
+      --mode index --input /data/emb.parquet --id-col vec_id \
+      --output /data/ivf_index
+  spark-submit --py-files osml10n_spark.zip run_job.py \
+      --mode search --index /data/ivf_index --input /data/queries.parquet \
+      --id-col vec_id --k 5 --nprobe 2 --output /data/neighbors
 
 Build the zip with:  python run_job.py --make-zip osml10n_spark.zip
 """
@@ -62,15 +72,36 @@ def main(argv: list[str] | None = None) -> None:
                     help="snapshot store root (resumable)")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--output", help="plain parquet output (no snapshots)")
-    ap.add_argument("--mode", choices=["localize", "curate"],
+    ap.add_argument("--mode",
+                    choices=["localize", "curate", "index", "search"],
                     default="localize",
                     help="localize = flagship pipeline; curate = dedup → "
                          "quality gate → lang (+ localization when the "
-                         "input has lon/lat)")
+                         "input has lon/lat); index = build a persistent "
+                         "IVF ANN index from an embeddings table; search "
+                         "= probe an index built by --mode index")
     ap.add_argument("--id-col", default="doc_id",
-                    help="curate mode: document id column")
+                    help="curate/index mode: id column")
     ap.add_argument("--text-col", default="text",
                     help="curate mode: text column")
+    ap.add_argument("--near-dup", choices=["minhash"], default=None,
+                    help="curate mode: also remove NEAR-duplicate docs "
+                         "(LSH pairs → connected components → min-id "
+                         "survivor)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="curate --near-dup: reliable checkpoint store "
+                         "for the components fixpoint (HDFS/S3 path on "
+                         "a cluster; default executor-local)")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="index/search mode: embedding column")
+    ap.add_argument("--index", help="search mode: index path "
+                                    "(--output of --mode index)")
+    ap.add_argument("--n-centroids", type=int, default=16,
+                    help="index mode: coarse centroid count")
+    ap.add_argument("--k", type=int, default=5,
+                    help="search mode: neighbors per query")
+    ap.add_argument("--nprobe", type=int, default=2,
+                    help="search mode: probed centroids per query")
     ap.add_argument("--make-zip", metavar="DEST",
                     help="write the --py-files package zip and exit")
     args = ap.parse_args(argv)
@@ -99,10 +130,40 @@ def main(argv: list[str] | None = None) -> None:
     else:
         ap.error("need --input or --generate")
 
+    if args.mode == "index":
+        from osml10n_spark.operators.similarity import IVFIndex
+        if not args.output:
+            ap.error("--mode index needs --output (the index path)")
+        IVFIndex.build(images, args.output, n_centroids=args.n_centroids,
+                       iid_col=args.id_col, vec_col=args.vec_col)
+        n_lists = spark.read.parquet(args.output + "/lists") \
+            .select("cid").distinct().count()
+        print(json.dumps({"index": args.output,
+                          "n_centroids": args.n_centroids,
+                          "non_empty_lists": n_lists}))
+        spark.stop()
+        return
+
+    if args.mode == "search":
+        from osml10n_spark.operators.similarity import IVFIndex
+        if not args.index or not args.output:
+            ap.error("--mode search needs --index and --output")
+        idx = IVFIndex.load(spark, args.index)
+        res = idx.search(images, args.k, nprobe=args.nprobe,
+                         qid_col=args.id_col, vec_col=args.vec_col)
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output,
+                          "rows": spark.read.parquet(args.output).count()}))
+        spark.stop()
+        return
+
     if args.mode == "curate":
         from osml10n_spark.engine.curate import curate
         has_geo = "lon" in images.columns and "lat" in images.columns
         kw = dict(id_col=args.id_col, text_col=args.text_col)
+        if args.near_dup:
+            kw.update(near_dup=args.near_dup,
+                      checkpoint_dir=args.checkpoint_dir)
         if has_geo:
             kw.update(localize_to=args.lang, lon_col="lon", lat_col="lat")
         out, obs = curate(images, **kw)
