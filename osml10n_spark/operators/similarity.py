@@ -124,14 +124,12 @@ def _pick_centroids(i: DataFrame, n_centroids: int) -> DataFrame:
         "cid long, c_vec array<double>, c_nrm double")
 
 
-def _assign_centroids(df: DataFrame, cents: DataFrame, vec: str, nrm: str,
-                      keep: int) -> DataFrame:
-    """Nearest ``keep`` centroids by cosine (broadcast centroid dim).
-    The window partitions by the frame's id column (its first
-    non-centroid column)."""
+def _assign_centroids(df: DataFrame, cents: DataFrame, id_col: str,
+                      vec: str, nrm: str, keep: int) -> DataFrame:
+    """Nearest ``keep`` centroids by cosine (broadcast centroid dim),
+    one rank window per ``id_col`` value."""
     sim = _dot(F.col(vec), F.col("c_vec")) / (F.col(nrm) * F.col("c_nrm"))
-    w = Window.partitionBy(*[c for c in df.columns if c not in
-                             ("c_vec", "c_nrm", "cid")][:1]) \
+    w = Window.partitionBy(id_col) \
         .orderBy(F.col("_csim").desc(), F.col("cid").asc())
     return (df.crossJoin(F.broadcast(cents))
             .withColumn("_csim", sim)
@@ -162,20 +160,27 @@ def ivf_topk(queries: DataFrame, items: DataFrame, k: int,
                      F.col(vec_col).alias("i_vec")) \
         .withColumn("i_nrm", _norm(F.col("i_vec")))
     cents = _pick_centroids(i, n_centroids)
-    inv = _assign_centroids(i, cents, "i_vec", "i_nrm", 1)  # inverted lists
+    inv = _assign_centroids(i, cents, "iid", "i_vec", "i_nrm", 1)
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("q_vec")) \
         .withColumn("q_nrm", _norm(F.col("q_vec")))
-    probed = _assign_centroids(q, cents, "q_vec", "q_nrm", nprobe)
-    cand = probed.join(inv, "cid") \
-        .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
-                    / (F.col("q_nrm") * F.col("i_nrm")))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
-                                          F.col("iid").asc())
+    probed = _assign_centroids(q, cents, "qid", "q_vec", "q_nrm", nprobe)
     # (qid, rank) is unique by construction — each item sits in exactly
     # one inverted list, so no distinct/dedup shuffle is needed; result
     # is returned LAZY (centroids are a literal, items scan twice at
     # most — callers persist the result if they iterate it)
+    return _refine_topk(probed, inv, k)
+
+
+def _refine_topk(probed: DataFrame, lists: DataFrame, k: int) -> DataFrame:
+    """Shared IVF refine: probe⨝list on cid → exact cosine → per-query
+    top-k.  Both ivf_topk and IVFIndex.search end here, so their
+    documented result identity holds by construction."""
+    cand = probed.join(lists, "cid") \
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
+                    / (F.col("q_nrm") * F.col("i_nrm")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("iid").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "iid", "cosine", "rank"))
@@ -261,7 +266,7 @@ class IVFIndex:
     so the scan touches ONLY the probed directories.  At 100 TB that is
     the difference between scanning the corpus and scanning
     nprobe/n_centroids of it; the plan's PartitionFilters line proves
-    it (pinned in tests/test_plans.py).
+    it (pinned in tests/test_similarity_index.py).
 
     ``append`` assigns NEW items to the existing centroids and appends
     to the lists — incremental ingest without a rebuild (centroids stay
@@ -280,16 +285,25 @@ class IVFIndex:
     def build(items: DataFrame, path: str, n_centroids: int = 16,
               iid_col: str = "iid", vec_col: str = "embedding") -> "IVFIndex":
         """Select centroids, assign every item to its nearest one, and
-        write both as the on-disk index (overwrites ``path``)."""
+        write both as the on-disk index (overwrites ``path``).  Build
+        stats ride the write job itself via ``df.observe`` (zero extra
+        scans) and land in ``index.build_stats``: items written and the
+        approximate number of non-empty lists."""
+        from pyspark.sql import Observation
         i = items.select(F.col(iid_col).alias("iid"),
                          F.col(vec_col).alias("i_vec")) \
             .withColumn("i_nrm", _norm(F.col("i_vec")))
         cents = _pick_centroids(i, n_centroids)
         cents.write.mode("overwrite").parquet(path + "/centroids")
-        inv = _assign_centroids(i, cents, "i_vec", "i_nrm", 1)
-        inv.write.mode("overwrite").partitionBy("cid") \
+        inv = _assign_centroids(i, cents, "iid", "i_vec", "i_nrm", 1)
+        obs = Observation("ivf_build")
+        inv.observe(obs, F.count("*").alias("items"),
+                    F.approx_count_distinct("cid").alias("lists")) \
+            .write.mode("overwrite").partitionBy("cid") \
             .parquet(path + "/lists")
-        return IVFIndex(items.sparkSession, path, cents)
+        idx = IVFIndex(items.sparkSession, path, cents)
+        idx.build_stats = dict(obs.get)
+        return idx
 
     @staticmethod
     def load(spark, path: str) -> "IVFIndex":
@@ -310,7 +324,7 @@ class IVFIndex:
         i = items.select(F.col(iid_col).alias("iid"),
                          F.col(vec_col).alias("i_vec")) \
             .withColumn("i_nrm", _norm(F.col("i_vec")))
-        inv = _assign_centroids(i, self.cents, "i_vec", "i_nrm", 1)
+        inv = _assign_centroids(i, self.cents, "iid", "i_vec", "i_nrm", 1)
         inv.write.mode("append").partitionBy("cid") \
             .parquet(self.path + "/lists")
 
@@ -322,7 +336,17 @@ class IVFIndex:
         q = queries.select(F.col(qid_col).alias("qid"),
                            F.col(vec_col).alias("q_vec")) \
             .withColumn("q_nrm", _norm(F.col("q_vec")))
-        probed = _assign_centroids(q, self.cents, "q_vec", "q_nrm", nprobe)
+        probed = _assign_centroids(q, self.cents, "qid", "q_vec", "q_nrm",
+                                   nprobe)
+        # localCheckpoint pins ONE evaluation of the assignment: the
+        # driver-side cid collect below and the downstream refine join
+        # must see the SAME probe set (a re-evaluated nondeterministic
+        # query source could otherwise land a query in a cid outside
+        # the pruned scan and silently lose its candidates), and the
+        # collect's work isn't recomputed for the join.  The probed
+        # frame is queries×nprobe rows — query-sized, never corpus-
+        # sized.
+        probed = probed.localCheckpoint(eager=True)
         # the probed cid set is bounded by n_centroids (a literal-sized
         # dimension), never by the corpus — one tiny driver job over
         # the query side, and the static IN filter prunes the list scan
@@ -338,11 +362,4 @@ class IVFIndex:
         Output (qid, iid, cosine, rank), identical to ``ivf_topk`` over
         the same items/params."""
         probed, lists = self.probed_lists(queries, nprobe, qid_col, vec_col)
-        cand = probed.join(lists, "cid") \
-            .withColumn("cosine", _dot(F.col("q_vec"), F.col("i_vec"))
-                        / (F.col("q_nrm") * F.col("i_nrm")))
-        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
-                                              F.col("iid").asc())
-        return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("qid", "iid", "cosine", "rank"))
+        return _refine_topk(probed, lists, k)

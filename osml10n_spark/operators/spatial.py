@@ -312,6 +312,8 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
         stats_key = (items._jdf.queryExecution().analyzed().semanticHash(),
                      res, k)
         ring = _KNN_RING_CACHE.get(stats_key)
+        if ring is not None:            # hit-reinsert → LRU eviction order
+            _KNN_RING_CACHE[stats_key] = _KNN_RING_CACHE.pop(stats_key)
         ring_src = "cached"
     if ring is None:
         ring_src = "computed"

@@ -134,13 +134,14 @@ def main(argv: list[str] | None = None) -> None:
         from osml10n_spark.operators.similarity import IVFIndex
         if not args.output:
             ap.error("--mode index needs --output (the index path)")
-        IVFIndex.build(images, args.output, n_centroids=args.n_centroids,
-                       iid_col=args.id_col, vec_col=args.vec_col)
-        n_lists = spark.read.parquet(args.output + "/lists") \
-            .select("cid").distinct().count()
+        idx = IVFIndex.build(images, args.output,
+                             n_centroids=args.n_centroids,
+                             iid_col=args.id_col, vec_col=args.vec_col)
+        # build stats ride the write job (df.observe) — no re-scan
         print(json.dumps({"index": args.output,
                           "n_centroids": args.n_centroids,
-                          "non_empty_lists": n_lists}))
+                          "items": int(idx.build_stats["items"]),
+                          "non_empty_lists": int(idx.build_stats["lists"])}))
         spark.stop()
         return
 
@@ -160,10 +161,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.mode == "curate":
         from osml10n_spark.engine.curate import curate
         has_geo = "lon" in images.columns and "lat" in images.columns
-        kw = dict(id_col=args.id_col, text_col=args.text_col)
+        kw = dict(id_col=args.id_col, text_col=args.text_col,
+                  checkpoint_dir=args.checkpoint_dir)
         if args.near_dup:
-            kw.update(near_dup=args.near_dup,
-                      checkpoint_dir=args.checkpoint_dir)
+            kw.update(near_dup=args.near_dup)
         if has_geo:
             kw.update(localize_to=args.lang, lon_col="lon", lat_col="lat")
         out, obs = curate(images, **kw)
