@@ -1563,6 +1563,118 @@ FROM fine GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ hex (H3-analog)
+# SQL twin of spatial/hexindex.py: one floor(coord*1e6) per axis is the
+# only FP step (bit-identical IEEE multiply in numpy/JVM/DuckDB); the
+# band → zigzag-triangle → axial chain after it is pure BIGINT math, so
+# the oracle reproduces the engine ids exactly.
+
+_HEX_QUANT_SQL = ("CAST(floor(lon * 1000000.0) AS BIGINT) + 540000000 AS gx, "
+                  "CAST(floor(lat * 1000000.0) AS BIGINT) + 450000000 AS gy")
+
+
+def _hex_sql(src: str, xin: str, yin: str, res: int, p: str = "hx") -> str:
+    """CTE chain assigning hex cell ids from offset-µdeg integer
+    columns ``xin``/``yin`` of ``src``; final CTE ``{p}5`` exposes
+    ``{p}_cell`` (and ``{p}_row``/``{p}_col`` for rollups)."""
+    from .spatial.hexindex import hex_wu
+    w, u = hex_wu(res)
+    zz = f"({yin} + {u}) % {3 * u} >= {2 * u}"
+    dy = f"(({yin} + {u}) % {3 * u}) - {2 * u}"
+    return f"""
+{p}1 AS (SELECT *, ({yin} + {u}) // {3 * u} AS {p}_band FROM {src}),
+{p}2 AS (SELECT *, ({xin} - ({p}_band & 1) * {w} + {w}) % {2 * w} AS {p}_t FROM {p}1),
+{p}3 AS (SELECT *, {p}_band + CASE WHEN {zz} AND NOT
+    ({u} * {p}_t >= {w} * ({dy}) AND {u} * ({2 * w} - {p}_t) >= {w} * ({dy}))
+  THEN 1 ELSE 0 END AS {p}_row FROM {p}2),
+{p}4 AS (SELECT *, ({xin} - ({p}_row & 1) * {w} + {w}) // {2 * w} AS {p}_col FROM {p}3),
+{p}5 AS (SELECT *, (({res}::BIGINT << 52)
+  | (({p}_col - ({p}_row - ({p}_row & 1)) // 2) << 26) | {p}_row) AS {p}_cell
+  FROM {p}4)"""
+
+
+def q_hexcell_histogram(spark, sf_dir):
+    """F24 hex half: per-hex-cell histogram (uniform-adjacency twin of
+    q_cell_histogram) — assignment is a pure JVM int64 expression."""
+    from .operators.spatial import assign_hexcells
+    pts = _points(spark, sf_dir)
+    return (assign_hexcells(pts, res=8)
+            .groupBy("hexcell").agg(F.count("*").alias("n_rows")))
+
+
+Q_HEXCELL_HISTOGRAM_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id, {_HEX_QUANT_SQL} FROM pts),
+{_hex_sql('g', 'gx', 'gy', 8)}
+SELECT hx_cell AS hexcell, COUNT(*) AS n_rows FROM hx5 GROUP BY 1
+"""
+
+
+def q_hexcell_rollup(spark, sf_dir):
+    """Hex multi-resolution rollup: res-9 histogram re-aggregated under
+    res-7 parents (H3-parent semantics: the coarser cell containing the
+    fine cell's exact integer center — replayed identically in SQL)."""
+    from .operators.spatial import assign_hexcells
+    from .spatial.cellexpr import hex_parent_expr
+    pts = _points(spark, sf_dir)
+    fine = (assign_hexcells(pts, res=9)
+            .groupBy("hexcell").agg(F.count("*").alias("n_rows")))
+    return (fine.withColumn("parent_cell",
+                            hex_parent_expr(F.col("hexcell"), 9, 7))
+            .groupBy("parent_cell")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.count("*").alias("n_child_cells")))
+
+
+def _hex_rollup_sql() -> str:
+    from .spatial.hexindex import hex_wu
+    w9, u9 = hex_wu(9)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id, {_HEX_QUANT_SQL} FROM pts),
+{_hex_sql('g', 'gx', 'gy', 9)},
+fine AS (SELECT hx_cell, COUNT(*) AS n_rows FROM hx5 GROUP BY 1),
+ctr AS (SELECT hx_cell, n_rows,
+  {w9} * (2 * ((hx_cell >> 26) & {(1 << 26) - 1}) + (hx_cell & {(1 << 26) - 1})) AS cx,
+  {3 * u9} * (hx_cell & {(1 << 26) - 1}) AS cy FROM fine),
+{_hex_sql('ctr', 'cx', 'cy', 7, p='px')}
+SELECT px_cell AS parent_cell, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_child_cells
+FROM px5 GROUP BY 1
+"""
+
+
+def q_hex_ring_join(spark, sf_dir):
+    """Hex k-ring candidate join: points within axial distance 2 of
+    each seed cell via a broadcast equi-join on driver-enumerated ring
+    cells (3k(k+1)+1 per seed) — the hex twin of the quad k-ring
+    candidate stage inside knn_cells.  The oracle recomputes membership
+    through the independent axial distance formula
+    (|dq|+|dr|+|dq+dr|)/2 ≤ k, so ring enumeration and adjacency
+    semantics are value-pinned against each other."""
+    from .operators.spatial import assign_hexcells, hex_ring_join
+    pts = assign_hexcells(_points(spark, sf_dir), res=8)
+    seeds = sorted({int(r[0]) for r in
+                    pts.filter(F.col("id") % 97 == 0)
+                    .select("hexcell").distinct().collect()})
+    return hex_ring_join(pts, seeds, k=2)
+
+
+Q_HEX_RING_JOIN_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id, {_HEX_QUANT_SQL} FROM pts),
+{_hex_sql('g', 'gx', 'gy', 8)},
+cells AS (SELECT id, hx_cell FROM hx5),
+seeds AS (SELECT DISTINCT hx_cell AS seed_cell FROM cells WHERE id % 97 = 0),
+d AS (SELECT s.seed_cell,
+  ((s.seed_cell >> 26) & {(1 << 26) - 1}) - ((c.hx_cell >> 26) & {(1 << 26) - 1}) AS dq,
+  (s.seed_cell & {(1 << 26) - 1}) - (c.hx_cell & {(1 << 26) - 1}) AS dr
+  FROM seeds s CROSS JOIN cells c)
+SELECT seed_cell, COUNT(*) AS n_in_ring FROM d
+WHERE abs(dq) + abs(dr) + abs(dq + dr) <= 4 GROUP BY 1
+"""
+
+
 
 def q_percentiles(spark, sf_dir):
     """Per-group exact distribution stats (median/p90 via SQL
@@ -2894,6 +3006,9 @@ QUERIES = {
     "q_streetname_bilingual": q_streetname_bilingual,
     "q_sql_registered": q_sql_registered,
     "q_cell_rollup": q_cell_rollup,
+    "q_hexcell_histogram": q_hexcell_histogram,
+    "q_hexcell_rollup": q_hexcell_rollup,
+    "q_hex_ring_join": q_hex_ring_join,
     "q_percentiles": q_percentiles,
     "q_cube_revenue": q_cube_revenue,
     "q_running_window": q_running_window,
@@ -2975,6 +3090,9 @@ ORACLES = {
     "q_streetname_bilingual": Q_STREETNAME_BILINGUAL_SQL,
     "q_sql_registered": Q_SQL_REGISTERED_SQL,
     "q_cell_rollup": Q_CELL_ROLLUP_SQL,
+    "q_hexcell_histogram": Q_HEXCELL_HISTOGRAM_SQL,
+    "q_hexcell_rollup": _hex_rollup_sql,
+    "q_hex_ring_join": Q_HEX_RING_JOIN_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "q_localize_mixed": Q_LOCALIZE_MIXED_SQL,

@@ -65,6 +65,34 @@ def assign_tiles(df: DataFrame, z: int = 8, maxz: int = 16, lon_col: str = "lon"
     return df.withColumn(out_col, tile_expr(F.col(lon_col), F.col(lat_col), z, maxz))
 
 
+def assign_hexcells(df: DataFrame, res: int = 9, lon_col: str = "lon",
+                    lat_col: str = "lat", out_col: str = "hexcell") -> DataFrame:
+    """Hex (H3-analog) cell assignment as a pure JVM expression —
+    bit-identical to the numpy kernel in spatial/hexindex.py (exact
+    int64 chain after one floor(coord*1e6) per axis)."""
+    from ..spatial.cellexpr import hexcell_expr
+    return df.withColumn(out_col, hexcell_expr(F.col(lon_col), F.col(lat_col), res))
+
+
+def hex_ring_join(points: DataFrame, seed_cells: list[int], k: int = 1,
+                  cell_col: str = "hexcell") -> DataFrame:
+    """Count points within axial distance ``k`` of each seed hex cell.
+
+    Scale shape: the ring cells are enumerated driver-side (3k(k+1)+1
+    per seed — numpy hex_k_ring) into a literal frame that Spark
+    auto-broadcasts, so the probe is a pure broadcast equi-join on the
+    already-assigned cell column: no distance math on the big side, no
+    shuffle of the points.  This is the hex twin of the quad k-ring
+    candidate join inside knn_cells."""
+    from ..spatial.hexindex import hex_k_ring
+    spark = points.sparkSession
+    rows = [(int(s), int(c)) for s in seed_cells for c in hex_k_ring(int(s), k)]
+    ring = spark.createDataFrame(rows, "seed_cell long, ring_cell long")
+    return (points.join(F.broadcast(ring),
+                        points[cell_col] == ring["ring_cell"], "inner")
+            .groupBy("seed_cell").agg(F.count("*").alias("n_in_ring")))
+
+
 def _sq_dist(qlon, qlat, ilon, ilat):
     """Squared euclidean in degrees — deterministic FP, matches the
     DuckDB oracle expression exactly (no sqrt)."""

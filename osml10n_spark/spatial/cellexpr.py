@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["cell_expr", "tile_expr", "zorder_expr", "parent_expr"]
+__all__ = ["cell_expr", "tile_expr", "zorder_expr", "parent_expr",
+           "hexcell_expr", "hex_parent_expr"]
 
 _M1 = 0x0000FFFF0000FFFF
 _M2 = 0x00FF00FF00FF00FF
@@ -91,3 +92,72 @@ def parent_expr(cell: Column, res: int, parent_res: int) -> Column:
     morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
     return F.lit(parent_res << _RES_SHIFT).bitwiseOR(
         F.shiftrightunsigned(morton, 2 * (res - parent_res))).cast("long")
+
+
+# ---------------------------------------------------------------- hex twin
+
+_HEX_OFF_X = 540_000_000
+_HEX_OFF_Y = 450_000_000
+_HEX_Q_SHIFT = 26
+_HEX_RES_SHIFT = 52
+_HEX_QR_MASK = (1 << 26) - 1
+
+
+def _idiv(x: Column, d: int) -> Column:
+    """Exact non-negative integer division in pure Column algebra:
+    (x - x % d) is exactly divisible, and IEEE double division of an
+    exactly-divisible pair < 2^53 is exact — so the cast truncation is
+    a no-op and the result matches `//` in numpy/DuckDB bit-for-bit."""
+    return ((x - x % F.lit(d)) / F.lit(d)).cast("long")
+
+
+def _hex_assign(x: Column, y: Column, res: int):
+    """(q, row) columns from offset-µdeg integer coords — JVM twin of
+    hexindex._assign_xy (same band → zigzag-triangle → axial chain)."""
+    from .hexindex import hex_wu
+    w, u = hex_wu(res)
+    yp = y + F.lit(u)
+    band = _idiv(yp, 3 * u)
+    yrel = yp - F.lit(3 * u) * band
+    t = (x - band.bitwiseAND(F.lit(1)) * F.lit(w) + F.lit(w)) % F.lit(2 * w)
+    dy = yrel - F.lit(2 * u)
+    below = (F.lit(u) * t >= F.lit(w) * dy) \
+        & (F.lit(u) * (F.lit(2 * w) - t) >= F.lit(w) * dy)
+    row = band + F.when((yrel >= F.lit(2 * u)) & ~below, F.lit(1)) \
+        .otherwise(F.lit(0))
+    col = _idiv(x - row.bitwiseAND(F.lit(1)) * F.lit(w) + F.lit(w), 2 * w)
+    q = col - _idiv(row - row.bitwiseAND(F.lit(1)), 2)
+    return q, row
+
+
+def hexcell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """JVM twin of hexindex.hexcell_from_lonlat (int64 hex cell id).
+    One floor(x*1e6) per axis is the only FP step; the rest is int64.
+
+    NOTE: pass plain column attributes.  Column algebra has no
+    subexpression sharing, so band/row reuse makes the tree ~1k nodes
+    from attributes — fine — but composing this inside another
+    hex expression (e.g. hex_parent_expr(hexcell_expr(...))) multiplies
+    trees to ~200k nodes and OOMs codegen.  Materialize the cell column
+    first (assign_hexcells), then derive parents from the attribute."""
+    x = F.floor(lon * F.lit(1e6)).cast("long") + F.lit(_HEX_OFF_X)
+    y = F.floor(lat * F.lit(1e6)).cast("long") + F.lit(_HEX_OFF_Y)
+    q, row = _hex_assign(x, y, res)
+    return F.lit(res << _HEX_RES_SHIFT).bitwiseOR(
+        F.shiftleft(q, _HEX_Q_SHIFT)).bitwiseOR(row).cast("long")
+
+
+def hex_parent_expr(cell: Column, res: int, parent_res: int) -> Column:
+    """JVM twin of hexindex.hex_to_parent: exact integer center of the
+    fine cell re-assigned at parent_res (H3-parent semantics).
+    ``cell`` must be a materialized column attribute — see
+    hexcell_expr's note on expression-tree blowup."""
+    from .hexindex import hex_wu
+    w, u = hex_wu(res)
+    q = F.shiftrightunsigned(cell, _HEX_Q_SHIFT).bitwiseAND(F.lit(_HEX_QR_MASK))
+    r = cell.bitwiseAND(F.lit(_HEX_QR_MASK))
+    xc = F.lit(w) * (F.lit(2) * q + r)
+    yc = F.lit(3 * u) * r
+    pq, prow = _hex_assign(xc, yc, parent_res)
+    return F.lit(parent_res << _HEX_RES_SHIFT).bitwiseOR(
+        F.shiftleft(pq, _HEX_Q_SHIFT)).bitwiseOR(prow).cast("long")
