@@ -102,6 +102,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="search mode: neighbors per query")
     ap.add_argument("--nprobe", type=int, default=2,
                     help="search mode: probed centroids per query")
+    ap.add_argument("--hex-res", type=int, default=None, metavar="RES",
+                    help="also emit an H3-analog 'hexcell' column at this "
+                         "resolution (0-24) on localize outputs")
     ap.add_argument("--make-zip", metavar="DEST",
                     help="write the --py-files package zip and exit")
     args = ap.parse_args(argv)
@@ -185,8 +188,11 @@ def main(argv: list[str] | None = None) -> None:
                                        target_lang=args.lang)
         print(json.dumps(summary))
     elif args.output:
-        localize(images, args.lang).write.mode("overwrite") \
-            .parquet(args.output)
+        out = localize(images, args.lang)
+        if args.hex_res is not None:
+            from osml10n_spark.operators.spatial import assign_hexcells
+            out = assign_hexcells(out, res=args.hex_res)
+        out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"output": args.output}))
     else:
         n = localize(images, args.lang).count()

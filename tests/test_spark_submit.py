@@ -121,3 +121,24 @@ def test_run_job_curate_near_dup_flag(tmp_path):
     assert all(k < 1000 or (k - 1000) not in kept for k in kept)
     assert not any(k in kept and (k + 1000) in kept
                    for k in list(range(40)))
+
+
+def test_run_job_hex_res_flag(tmp_path):
+    """--hex-res adds the H3-analog cell column on the localize path,
+    bit-identical to the numpy kernel on the written rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osml10n_spark.spatial.hexindex import hexcell_from_lonlat
+
+    out = tmp_path / "localized"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "run_job.py"), "--generate", "200",
+         "--output", str(out), "--hex-res", "8"],
+        cwd=str(REPO), capture_output=True, text=True, timeout=420,
+        env={**__import__("os").environ, "PYSPARK_PYTHON": sys.executable})
+    assert r.returncode == 0, r.stderr[-3000:]
+    t = pq.read_table(str(out), columns=["lon", "lat", "hexcell"]).to_pydict()
+    assert len(t["hexcell"]) == 200
+    want = hexcell_from_lonlat(np.array(t["lon"]), np.array(t["lat"]), 8)
+    assert np.array_equal(want, np.array(t["hexcell"]))
