@@ -749,6 +749,24 @@ def q_pip_cover(spark, sf_dir):
     return pip_join_via_cover(pts, rects, res=8).select("pid", "cc")
 
 
+def q_pip_hexcover(spark, sf_dir):
+    """J1 via the HEX cover equi-join — third physical plan for the
+    same PiP semantics and oracle (hex covers have no corner
+    over-reach, shrinking the ray-cast boundary fraction); exactness
+    is cover-soundness + targeted refinement, identical to the quad
+    path."""
+    from .operators.spatial import pip_join_via_cover
+    rects = [(r.n_name,
+              ((r.n_nationkey * 53) % 300) - 170.0,
+              ((r.n_nationkey * 29) % 140) - 80.0,
+              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
+              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
+             for r in _t(spark, sf_dir, "nation").collect()]
+    pts = _points(spark, sf_dir)
+    return pip_join_via_cover(pts, rects, res=7,
+                              cell_family="hex").select("pid", "cc")
+
+
 def q_knn_geo(spark, sf_dir):
     """J5/W5: kNN via cell k-ring expansion + exact refine (the scale
     path), checked against a brute-force SQL oracle."""
@@ -2960,6 +2978,7 @@ QUERIES = {
     "q_abbrev_ru": q_abbrev_ru,
     "q_pip_squares": q_pip_squares,
     "q_pip_cover": q_pip_cover,
+    "q_pip_hexcover": q_pip_hexcover,
     "q_knn_geo": q_knn_geo,
     "q_tile_assign": q_tile_assign,
     "q_cell_histogram": q_cell_histogram,
@@ -3058,6 +3077,7 @@ ORACLES = {
     "q_abbrev_ru": Q_ABBREV_RU_SQL,
     "q_pip_squares": Q_PIP_SQUARES_SQL,
     "q_pip_cover": Q_PIP_SQUARES_SQL,   # same semantics, different physical plan
+    "q_pip_hexcover": Q_PIP_SQUARES_SQL,  # third plan: hex cover equi-join
     "q_knn_geo": Q_KNN_GEO_SQL,
     "q_tile_assign": Q_TILE_ASSIGN_SQL,
     "q_cell_histogram": Q_CELL_HISTOGRAM_SQL,

@@ -672,14 +672,24 @@ def radius_join(left: DataFrame, right: DataFrame, radius_deg: float,
     return pairs
 
 
-def polygon_cover_table(spark, polys: list, res: int = 9) -> DataFrame:
+def polygon_cover_table(spark, polys: list, res: int = 9,
+                        cell_family: str = "quad") -> DataFrame:
     """The scale path for J1 (SURVEY.md §2.3): precompute each polygon's
     sound cell cover → a small (cc, cell_id, kind) dimension joinable
     on cell_id.  Points in *interior* cells resolve by the equi-join
     alone; only *boundary*-cell points need ray-cast refinement.  Built
     driver-side like the daemon's startup geometry prep (polygon dims
-    are small); broadcast by Spark at join time."""
-    from ..spatial.cellindex import polygon_cover
+    are small); broadcast by Spark at join time.  ``cell_family``
+    selects the index: 'quad' (Morton, cellindex.polygon_cover) or
+    'hex' (H3-analog, hexindex.hex_polygon_cover) — both covers are
+    sound, so either drives the same exact join."""
+    if cell_family == "quad":
+        from ..spatial.cellindex import polygon_cover
+    elif cell_family == "hex":
+        from ..spatial.hexindex import hex_polygon_cover as polygon_cover
+    else:
+        raise ValueError(f"cell_family must be 'quad' or 'hex', "
+                         f"got {cell_family!r}")
 
     rows = []
     for p in polys:
@@ -691,7 +701,8 @@ def polygon_cover_table(spark, polys: list, res: int = 9) -> DataFrame:
 
 def pip_join_via_cover(points: DataFrame, rects: list, res: int = 8,
                        id_col: str = "id", lon_col: str = "lon",
-                       lat_col: str = "lat", out_col: str = "cc") -> DataFrame:
+                       lat_col: str = "lat", out_col: str = "cc",
+                       cell_family: str = "quad") -> DataFrame:
     """J1 as a cover EQUI-join (the SURVEY §2.3 scale plan): points in
     a polygon's *interior* cells resolve from the broadcast
     (cell_id → cc) dimension alone — no geometry math; only points in
@@ -699,7 +710,9 @@ def pip_join_via_cover(points: DataFrame, rects: list, res: int = 8,
     cover produced the row.  Same first-containing/sorted-cc/''-miss
     semantics as pip_join_rects (shared oracle), different physical
     strategy: broadcast hash join + a Python island sized by the
-    boundary fraction instead of the whole input.
+    boundary fraction instead of the whole input.  ``cell_family``
+    picks quad or hex cells; exactness is family-independent (both
+    covers are sound), only the boundary fraction changes.
     """
     from ..spatial.geometry import pack_polygon
 
@@ -708,12 +721,15 @@ def pip_join_via_cover(points: DataFrame, rects: list, res: int = 8,
                                 (x0, y0)]])
              for cc, x0, y0, x1, y1 in rects]
     by_cc = {p.cc: p for p in polys}
-    cover = polygon_cover_table(spark, polys, res)
+    cover = polygon_cover_table(spark, polys, res, cell_family=cell_family)
 
     pts = points.select(F.col(id_col).alias("pid"),
                         F.col(lon_col).alias("lon"),
                         F.col(lat_col).alias("lat"))
-    pts_c = assign_cells(pts, res)
+    if cell_family == "hex":
+        pts_c = assign_hexcells(pts, res, out_col="cell_id")
+    else:
+        pts_c = assign_cells(pts, res)
     j = pts_c.join(F.broadcast(cover), "cell_id")
     interior_hits = j.filter(F.col("kind") == "interior") \
         .select("pid", "cc")
