@@ -174,3 +174,25 @@ class _codegen_strict:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.codegen.fallback", self.prev)
+
+
+def test_pip_hexcover_plan_and_parity(spark):
+    """The hex-cover PiP join keeps the quad path's physical shape
+    (broadcast dimension join, no SMJ/cartesian) and agrees with the
+    quad-cover result row-for-row."""
+    from osml10n_spark.operators.spatial import pip_join_via_cover
+    rects = [("aa", -20.0, -20.0, 15.0, 10.0), ("bb", 0.0, 0.0, 30.0, 25.0),
+             ("cc", -170.0, -80.0, -140.0, -55.0)]
+    pts = spark.range(4000).selectExpr(
+        "id", "((id * 37) % 360) - 180 + 0.5 AS lon",
+        "((id * 7) % 160) - 80 + 0.5 AS lat")
+    hexed = pip_join_via_cover(pts, rects, res=6, cell_family="hex")
+    plan = hexed._jdf.queryExecution().executedPlan().toString()
+    # the cover dimension join is broadcast; no cartesian anywhere (the
+    # final pid left-join back to all points may SMJ — same as quad)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    quad = pip_join_via_cover(pts, rects, res=8)
+    a = sorted((r[0], r[1]) for r in hexed.collect())
+    b = sorted((r[0], r[1]) for r in quad.collect())
+    assert a == b
