@@ -706,18 +706,26 @@ FROM orders GROUP BY 1
 """
 
 
+def _nation_rects(spark, sf_dir):
+    """Shared synthetic 15°×15° PiP rectangles from nation keys.  The
+    *53/*29 multipliers are embedded verbatim in Q_PIP_SQUARES_SQL —
+    the one oracle all three q_pip_* physical plans share — so the
+    derivation lives in exactly one place on the Spark side too."""
+    return [(r.n_name,
+             ((r.n_nationkey * 53) % 300) - 170.0,
+             ((r.n_nationkey * 29) % 140) - 80.0,
+             ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
+             ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
+            for r in _t(spark, sf_dir, "nation").collect()]
+
+
 def q_pip_squares(spark, sf_dir):
     """J1 point-in-polygon join against caller polygons (synthetic
     squares from nation keys) — ray-cast on the Spark side, range
     predicates in the oracle."""
-    rects = [(r.n_name,
-              ((r.n_nationkey * 53) % 300) - 170.0,
-              ((r.n_nationkey * 29) % 140) - 80.0,
-              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
-              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
-             for r in _t(spark, sf_dir, "nation").collect()]
     pts = _points(spark, sf_dir)
-    return pip_join_rects(pts, rects).select(F.col("id").alias("pid"), "cc")
+    return pip_join_rects(pts, _nation_rects(spark, sf_dir)) \
+        .select(F.col("id").alias("pid"), "cc")
 
 
 Q_PIP_SQUARES_SQL = f"""
@@ -739,14 +747,9 @@ def q_pip_cover(spark, sf_dir):
     broadcast hash join, boundary cells = targeted ray-cast) — same
     semantics and ORACLE as q_pip_squares, different physical plan."""
     from .operators.spatial import pip_join_via_cover
-    rects = [(r.n_name,
-              ((r.n_nationkey * 53) % 300) - 170.0,
-              ((r.n_nationkey * 29) % 140) - 80.0,
-              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
-              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
-             for r in _t(spark, sf_dir, "nation").collect()]
     pts = _points(spark, sf_dir)
-    return pip_join_via_cover(pts, rects, res=8).select("pid", "cc")
+    return pip_join_via_cover(pts, _nation_rects(spark, sf_dir),
+                              res=8).select("pid", "cc")
 
 
 def q_pip_hexcover(spark, sf_dir):
@@ -756,14 +759,8 @@ def q_pip_hexcover(spark, sf_dir):
     is cover-soundness + targeted refinement, identical to the quad
     path."""
     from .operators.spatial import pip_join_via_cover
-    rects = [(r.n_name,
-              ((r.n_nationkey * 53) % 300) - 170.0,
-              ((r.n_nationkey * 29) % 140) - 80.0,
-              ((r.n_nationkey * 53) % 300) - 170.0 + 15.0,
-              ((r.n_nationkey * 29) % 140) - 80.0 + 15.0)
-             for r in _t(spark, sf_dir, "nation").collect()]
     pts = _points(spark, sf_dir)
-    return pip_join_via_cover(pts, rects, res=7,
+    return pip_join_via_cover(pts, _nation_rects(spark, sf_dir), res=7,
                               cell_family="hex").select("pid", "cc")
 
 
@@ -1356,14 +1353,9 @@ def q_polygon_cover(spark, sf_dir):
     the packed morton ids."""
     from .operators.spatial import polygon_cover_table
     from .spatial.geometry import pack_polygon
-    rects = [(r.n_name,
-              ((r.n_nationkey * 53) % 300) - 170.0,
-              ((r.n_nationkey * 29) % 140) - 80.0)
-             for r in _t(spark, sf_dir, "nation").collect()]
-    polys = [pack_polygon(cc, [[(x0, y0), (x0 + 15.0, y0),
-                                (x0 + 15.0, y0 + 15.0), (x0, y0 + 15.0),
+    polys = [pack_polygon(cc, [[(x0, y0), (x1, y0), (x1, y1), (x0, y1),
                                 (x0, y0)]])
-             for cc, x0, y0 in rects]
+             for cc, x0, y0, x1, y1 in _nation_rects(spark, sf_dir)]
     return polygon_cover_table(spark, polys, res=6)
 
 

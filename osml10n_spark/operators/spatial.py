@@ -83,14 +83,25 @@ def hex_ring_join(points: DataFrame, seed_cells: list[int], k: int = 1,
     auto-broadcasts, so the probe is a pure broadcast equi-join on the
     already-assigned cell column: no distance math on the big side, no
     shuffle of the points.  This is the hex twin of the quad k-ring
-    candidate join inside knn_cells."""
+    candidate join inside knn_cells.
+
+    Seeds are deduplicated (a repeated seed must not double-count) and
+    every seed gets a row — a seed whose ring holds no points reports
+    n_in_ring = 0 via a tiny post-aggregation left join (seeds × counts
+    are both ≤|seeds| rows, so the fill-in join never touches the big
+    side)."""
     from ..spatial.hexindex import hex_k_ring
     spark = points.sparkSession
-    rows = [(int(s), int(c)) for s in seed_cells for c in hex_k_ring(int(s), k)]
+    seeds = sorted({int(s) for s in seed_cells})
+    rows = [(s, int(c)) for s in seeds for c in hex_k_ring(s, k)]
     ring = spark.createDataFrame(rows, "seed_cell long, ring_cell long")
-    return (points.join(F.broadcast(ring),
-                        points[cell_col] == ring["ring_cell"], "inner")
-            .groupBy("seed_cell").agg(F.count("*").alias("n_in_ring")))
+    counts = (points.join(F.broadcast(ring),
+                          points[cell_col] == ring["ring_cell"], "inner")
+              .groupBy("seed_cell").agg(F.count("*").alias("n_in_ring")))
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed_cell long")
+    return (seed_df.join(F.broadcast(counts), "seed_cell", "left")
+            .select("seed_cell",
+                    F.coalesce("n_in_ring", F.lit(0)).alias("n_in_ring")))
 
 
 def _sq_dist(qlon, qlat, ilon, ilat):

@@ -146,7 +146,12 @@ def hex_center(cell) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hex_distance(a, b) -> np.ndarray:
-    """Axial grid distance (edge hops) between same-res cells."""
+    """Axial grid distance (edge hops) between same-res cells.
+    Mixed-resolution pairs live on different lattices — the raw (q, r)
+    comparison would return a small plausible-but-meaningless number,
+    so they raise instead (mirror of hex_to_parent's res check)."""
+    if np.any(hex_res(a) != hex_res(b)):
+        raise ValueError("hex_distance requires same-resolution cells")
     qa, ra = hex_qr(a)
     qb, rb = hex_qr(b)
     dq = qa - qb
@@ -246,5 +251,7 @@ def hex_polygon_cover(poly: PackedPolygon, res: int = HEX_DEFAULT_RES):
     c_lon = (xc - _OFF_X) / 1e6
     c_lat = (yc - _OFF_Y) / 1e6
     inside = poly.contains(c_lon, c_lat)
-    interior = np.setdiff1d(ids[inside & ~is_boundary], boundary)
+    # ids[~is_boundary] is disjoint from boundary by construction
+    # (same array, same mask) — no setdiff needed
+    interior = np.sort(ids[inside & ~is_boundary])
     return interior, boundary

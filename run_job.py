@@ -113,6 +113,13 @@ def main(argv: list[str] | None = None) -> None:
         make_zip(args.make_zip)
         return
 
+    if args.hex_res is not None and not (args.mode == "localize"
+                                         and args.output):
+        # silently ignoring the flag on curate/index/search or the
+        # snapshot-store path would look like a no-op bug downstream
+        ap.error("--hex-res applies only to --mode localize with "
+                 "--output (plain parquet localize output)")
+
     from pyspark import SparkConf
     from pyspark.sql import SparkSession
     submitted = SparkConf()          # carries spark-submit --conf values
