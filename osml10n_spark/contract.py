@@ -1320,6 +1320,42 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval overlap self-join: all pairs of events by the same
+    user whose [start, start + 600 + id%1800 s] activity windows
+    overlap — bucketed-blocking equi-join with exactly-once bucket
+    ownership (operators/temporal.py:interval_join), proven against
+    DuckDB's native range join.  All values are integer epoch-second
+    arithmetic (unix_timestamp and floor(epoch()) both truncate), so
+    the derivation is bit-identical across engines."""
+    from .operators.temporal import interval_join
+    iv = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), "user_id",
+        F.unix_timestamp("ts").alias("s"))
+    iv = iv.withColumn(
+        "e", F.col("s") + 600 + F.col("id") % 1800)
+    pairs = interval_join(iv, iv, "user_id", "s", "e")
+    return (pairs.filter(F.col("id") < F.col("id_r"))
+            .select("user_id", F.col("id").alias("a_id"),
+                    F.col("id_r").alias("b_id"),
+                    (F.least("e", "e_r") - F.greatest("s", "s_r"))
+                    .alias("overlap_s")))
+
+
+Q_INTERVAL_JOIN_SQL = """
+WITH iv AS (
+  SELECT event_id AS id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 + (event_id % 1800) AS e
+  FROM events)
+SELECT a.user_id AS user_id, a.id AS a_id, b.id AS b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.id < b.id
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_radius_join(spark, sf_dir):
     """Distance-range spatial join (all pairs within 2°) via ring-1
     cell equi-join + exact refine — no cross join."""
@@ -3009,6 +3045,7 @@ QUERIES = {
     "q_image_resize": q_image_resize,
     "q_frame_sample": q_frame_sample,
     "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,
     "q_abbrev_uk": q_abbrev_uk,
@@ -3094,6 +3131,7 @@ ORACLES = {
     "q_embedding_dups": Q_EMBEDDING_DUPS_SQL,
     "q_session_events": Q_SESSION_EVENTS_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,
+    "q_interval_join": Q_INTERVAL_JOIN_SQL,
     "q_radius_join": Q_RADIUS_JOIN_SQL,
     "q_polygon_cover": Q_POLYGON_COVER_SQL,
     "q_abbrev_uk": Q_ABBREV_UK_SQL,

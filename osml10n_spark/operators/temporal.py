@@ -1,4 +1,4 @@
-"""Temporal joins: as-of (point-in-time) join.
+"""Temporal joins: as-of (point-in-time) join, interval overlap join.
 
 Spark has no native ASOF JOIN; the classic scalable formulation is a
 single shuffle by key over the UNION of both sides with a carry-forward
@@ -17,7 +17,80 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(left: DataFrame, right: DataFrame, key_col: str,
+                  start_col: str = "s", end_col: str = "e",
+                  bucket_width: int | None = None,
+                  suffix: str = "_r") -> DataFrame:
+    """All (left, right) pairs within a key whose CLOSED integer
+    intervals ``[start, end]`` overlap (``s_l <= e_r AND s_r <= e_l``).
+
+    Spark has no native interval/range join; the naive formulation is a
+    per-key theta-join (quadratic in the key's row count, and a
+    CartesianProduct without a key).  This is the bucketed-blocking
+    plan — the temporal twin of the spatial cover join:
+
+      1. Each interval explodes to the fixed-width buckets it touches:
+         ``sequence(s div W, e div W)`` — a JVM-codegen explode, cost
+         proportional to interval length / W.
+      2. Equi-join on ``(key, bucket)`` — a plain shuffle join, so AQE
+         skew-split applies to hot buckets and no driver collect or
+         broadcast of either side is needed.
+      3. A pair that shares several buckets must count ONCE: keep it
+         only in the bucket owning ``greatest(s_l, s_r)``.  For an
+         overlapping pair ``max(s) <= min(e)``, so that bucket lies
+         inside BOTH bucket ranges — each pair survives in exactly one
+         joined row, no post-join ``distinct`` (which would be a second
+         shuffle of the whole pair set).
+
+    ``div`` (truncating integer division) is used on both the range
+    endpoints and the ownership test, so the blocking is consistent for
+    negative coordinates too (the mapping is monotone; floor-vs-trunc
+    only relabels buckets).  ``bucket_width=None`` derives W from one
+    tiny aggregate over the left side (~2× the mean interval length:
+    explode factor ≈ 1.5 while buckets stay selective); intervals
+    longer than ~10k buckets fail loudly in ``sequence`` rather than
+    silently exploding — pass a wider ``bucket_width`` for long-lived
+    intervals.
+
+    Output: all left columns + right's non-key columns suffixed with
+    ``suffix``.  Self-joins return both (a,b) and (b,a) plus the a==a
+    diagonal; filter e.g. ``id < id_r`` for canonical pairs.
+    """
+    if start_col == key_col or end_col == key_col:
+        raise ValueError("key_col must differ from start/end columns")
+    if bucket_width is None:
+        row = left.agg(
+            F.avg(F.col(end_col) - F.col(start_col)).alias("m")).collect()[0]
+        bucket_width = max(1, int(2 * (row.m or 0)) + 1)
+    elif bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    W = int(bucket_width)
+
+    r = right
+    for c in right.columns:
+        if c != key_col:
+            r = r.withColumnRenamed(c, c + suffix)
+    s_l, e_l = F.col(start_col), F.col(end_col)
+    s_r, e_r = F.col(start_col + suffix), F.col(end_col + suffix)
+
+    def _buckets(s, e):
+        return F.explode(F.sequence(
+            F.expr(f"`{s}` div {W}"), F.expr(f"`{e}` div {W}")))
+
+    # an s > e "interval" is empty and overlaps nothing — and Spark's
+    # sequence() silently DESCENDS for start > stop, which would emit
+    # junk buckets, so drop such rows before the explode
+    lb = left.filter(s_l <= e_l) \
+        .withColumn("_b", _buckets(start_col, end_col))
+    rb = r.filter(s_r <= e_r) \
+        .withColumn("_b", _buckets(start_col + suffix, end_col + suffix))
+    own = F.expr(f"greatest(`{start_col}`, `{start_col + suffix}`) div {W}")
+    return (lb.join(rb, [key_col, "_b"])
+            .filter((s_l <= e_r) & (s_r <= e_l) & (F.col("_b") == own))
+            .drop("_b"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,

@@ -597,6 +597,46 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                for l in emap)
 
 
+def test_interval_join_matches_bruteforce(spark):
+    """Randomized differential test: bucketed interval_join == the
+    quadratic per-key overlap scan, including negative coordinates,
+    touching endpoints, and intervals spanning many buckets (forced by
+    a small explicit bucket_width)."""
+    import numpy as np
+    from osml10n_spark.operators.temporal import interval_join
+    rng = np.random.default_rng(23)
+    n = 300
+    s = rng.integers(-500, 500, n)
+    e = s + rng.integers(0, 120, n)          # lengths 0..119, W=16 → multi-bucket
+    k = rng.integers(0, 4, n)
+    rows = [(int(i), int(k[i]), int(s[i]), int(e[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, k long, s long, e long")
+    for width in (16, None):                 # explicit multi-bucket + auto
+        got = {(r.id, r.id_r) for r in
+               interval_join(df, df, "k", "s", "e",
+                             bucket_width=width).collect()}
+        exp = {(a[0], b[0]) for a in rows for b in rows
+               if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]}
+        assert got == exp and len(exp) > n   # non-trivial overlap set
+
+
+def test_interval_join_edges(spark):
+    from osml10n_spark.operators.temporal import interval_join
+    import pytest
+    a = spark.createDataFrame([(1, 0, 0, 10), (2, 0, 10, 20), (3, 0, 21, 5)],
+                              "id long, k long, s long, e long")
+    out = {(r.id, r.id_r) for r in
+           interval_join(a, a, "k", "s", "e", bucket_width=4).collect()}
+    # touching endpoints (e=10, s=10) overlap under CLOSED semantics;
+    # the s>e row (id 3) is an empty interval and matches nothing —
+    # not even itself
+    assert out == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    with pytest.raises(ValueError):
+        interval_join(a, a, "k", "s", "e", bucket_width=0)
+    with pytest.raises(ValueError):
+        interval_join(a, a, "s", "s", "e")
+
+
 def test_asof_join_null_payload_not_resurrected(spark):
     """The matched right row's NULL payload must come through as NULL —
     not an older row's non-null value (atomic row carry)."""

@@ -253,6 +253,23 @@ def test_dup_components_round_is_equi_join_only(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_interval_join_is_equi_join(spark):
+    """The bucketed interval join must plan as a (key, bucket)
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin from the
+    range predicates (they ride the join as post-filters), and the
+    bucket explode stays in whole-stage codegen (no Python eval)."""
+    from osml10n_spark.operators.temporal import interval_join
+    from osml10n_spark.plans.inspect import physical_plan
+    df = spark.createDataFrame([(i, i % 3, i * 10, i * 10 + 25)
+                                for i in range(50)],
+                               "id long, k long, s long, e long")
+    out = interval_join(df, df, "k", "s", "e", bucket_width=16)
+    plan = physical_plan(out, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert python_eval_count(out) == 0
+
+
 def test_headline_pipelines_compile_under_wholestage_codegen(spark):
     """No silent interpreted fallback on headline pipelines: with
     spark.sql.codegen.fallback=false a janino failure ("Code grows
