@@ -72,6 +72,10 @@ def interval_join(left: DataFrame, right: DataFrame, key_col: str,
     r = right
     for c in right.columns:
         if c != key_col:
+            if c + suffix in left.columns:
+                raise ValueError(
+                    f"suffixed right column {c + suffix!r} collides with a "
+                    f"left column; pass a different suffix=")
             r = r.withColumnRenamed(c, c + suffix)
     s_l, e_l = F.col(start_col), F.col(end_col)
     s_r, e_r = F.col(start_col + suffix), F.col(end_col + suffix)
