@@ -1326,8 +1326,11 @@ def q_interval_join(spark, sf_dir):
     overlap — bucketed-blocking equi-join with exactly-once bucket
     ownership (operators/temporal.py:interval_join), proven against
     DuckDB's native range join.  All values are integer epoch-second
-    arithmetic (unix_timestamp and floor(epoch()) both truncate), so
-    the derivation is bit-identical across engines."""
+    arithmetic; Spark's unix_timestamp truncates toward zero while
+    DuckDB's floor(epoch()) floors, which agree exactly for the
+    POSITIVE epochs this table carries (all events are 2024) — the
+    derivation is bit-identical here, but would diverge by 1s on
+    pre-1970 fractional timestamps."""
     from .operators.temporal import interval_join
     iv = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"), "user_id",

@@ -23,7 +23,8 @@ __all__ = ["asof_join", "interval_join"]
 def interval_join(left: DataFrame, right: DataFrame, key_col: str,
                   start_col: str = "s", end_col: str = "e",
                   bucket_width: int | None = None,
-                  suffix: str = "_r") -> DataFrame:
+                  suffix: str = "_r",
+                  max_span_buckets: int = 10_000) -> DataFrame:
     """All (left, right) pairs within a key whose CLOSED integer
     intervals ``[start, end]`` overlap (``s_l <= e_r AND s_r <= e_l``).
 
@@ -50,10 +51,13 @@ def interval_join(left: DataFrame, right: DataFrame, key_col: str,
     negative coordinates too (the mapping is monotone; floor-vs-trunc
     only relabels buckets).  ``bucket_width=None`` derives W from one
     tiny aggregate over the left side (~2× the mean interval length:
-    explode factor ≈ 1.5 while buckets stay selective); intervals
-    longer than ~10k buckets fail loudly in ``sequence`` rather than
-    silently exploding — pass a wider ``bucket_width`` for long-lived
-    intervals.
+    explode factor ≈ 1.5 while buckets stay selective).  A row-level
+    ``assert_true`` guard fails the job for any interval spanning more
+    than ``max_span_buckets`` buckets (an outlier interval against a
+    mean-derived W would otherwise SILENTLY explode into ~len/W rows —
+    Spark's ``sequence`` itself accepts hundreds of thousands of
+    elements without complaint); pass a wider ``bucket_width`` for
+    long-lived intervals.
 
     Output: all left columns + right's non-key columns suffixed with
     ``suffix``.  Self-joins return both (a,b) and (b,a) plus the a==a
@@ -61,6 +65,11 @@ def interval_join(left: DataFrame, right: DataFrame, key_col: str,
     """
     if start_col == key_col or end_col == key_col:
         raise ValueError("key_col must differ from start/end columns")
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "_b" in cols:
+            raise ValueError(
+                f"{side} side carries a column named '_b', which "
+                f"interval_join uses internally — rename it first")
     if bucket_width is None:
         row = left.agg(
             F.avg(F.col(end_col) - F.col(start_col)).alias("m")).collect()[0]
@@ -76,13 +85,27 @@ def interval_join(left: DataFrame, right: DataFrame, key_col: str,
                 raise ValueError(
                     f"suffixed right column {c + suffix!r} collides with a "
                     f"left column; pass a different suffix=")
+            if c + suffix in right.columns:
+                raise ValueError(
+                    f"renaming right column {c!r} to {c + suffix!r} collides "
+                    f"with another right column; pass a different suffix=")
             r = r.withColumnRenamed(c, c + suffix)
     s_l, e_l = F.col(start_col), F.col(end_col)
     s_r, e_r = F.col(start_col + suffix), F.col(end_col + suffix)
 
     def _buckets(s, e):
-        return F.explode(F.sequence(
-            F.expr(f"`{s}` div {W}"), F.expr(f"`{e}` div {W}")))
+        lo, hi = F.expr(f"`{s}` div {W}"), F.expr(f"`{e}` div {W}")
+        # row-level loud failure for outlier intervals (no extra job);
+        # sequence() itself happily builds 100k+ element arrays, so an
+        # outlier against a mean-derived W would otherwise explode
+        # silently.  raise_error evaluates only on violating rows.
+        guarded_hi = F.when(
+            hi - lo <= F.lit(int(max_span_buckets)), hi
+        ).otherwise(F.raise_error(F.lit(
+            f"interval_join: an interval spans more than "
+            f"{max_span_buckets} buckets of width {W}; pass a wider "
+            f"bucket_width= (or raise max_span_buckets=)")))
+        return F.explode(F.sequence(lo, guarded_hi))
 
     # an s > e "interval" is empty and overlaps nothing — and Spark's
     # sequence() silently DESCENDS for start > stop, which would emit

@@ -114,7 +114,8 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     if args.hex_res is not None and not (args.mode == "localize"
-                                         and args.output):
+                                         and args.output
+                                         and not args.store):
         # silently ignoring the flag on curate/index/search or the
         # snapshot-store path would look like a no-op bug downstream
         ap.error("--hex-res applies only to --mode localize with "

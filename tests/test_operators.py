@@ -612,11 +612,14 @@ def test_interval_join_matches_bruteforce(spark):
     rows = [(int(i), int(k[i]), int(s[i]), int(e[i])) for i in range(n)]
     df = spark.createDataFrame(rows, "id long, k long, s long, e long")
     for width in (16, None):                 # explicit multi-bucket + auto
-        got = {(r.id, r.id_r) for r in
-               interval_join(df, df, "k", "s", "e",
-                             bucket_width=width).collect()}
-        exp = {(a[0], b[0]) for a in rows for b in rows
-               if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]}
+        # MULTISET comparison: a pair sharing several buckets must be
+        # emitted exactly once — a set compare would mask a regression
+        # in the ownership filter (duplicates collapse silently)
+        got = sorted((r.id, r.id_r) for r in
+                     interval_join(df, df, "k", "s", "e",
+                                   bucket_width=width).collect())
+        exp = sorted((a[0], b[0]) for a in rows for b in rows
+                     if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3])
         assert got == exp and len(exp) > n   # non-trivial overlap set
 
 
@@ -625,16 +628,26 @@ def test_interval_join_edges(spark):
     import pytest
     a = spark.createDataFrame([(1, 0, 0, 10), (2, 0, 10, 20), (3, 0, 21, 5)],
                               "id long, k long, s long, e long")
-    out = {(r.id, r.id_r) for r in
-           interval_join(a, a, "k", "s", "e", bucket_width=4).collect()}
+    out = sorted((r.id, r.id_r) for r in
+                 interval_join(a, a, "k", "s", "e", bucket_width=4).collect())
     # touching endpoints (e=10, s=10) overlap under CLOSED semantics;
     # the s>e row (id 3) is an empty interval and matches nothing —
-    # not even itself
-    assert out == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    # not even itself; multiset compare pins exactly-once emission
+    assert out == [(1, 1), (1, 2), (2, 1), (2, 2)]
     with pytest.raises(ValueError):
         interval_join(a, a, "k", "s", "e", bucket_width=0)
     with pytest.raises(ValueError):
         interval_join(a, a, "s", "s", "e")
+    # internal bucket column name must not be silently destroyed
+    with pytest.raises(ValueError, match="_b"):
+        interval_join(a.withColumnRenamed("e", "_b"), a, "k", "s", "e")
+    # an outlier interval against the derived width fails LOUDLY at
+    # execution instead of silently exploding into len/W rows
+    wide = a.unionByName(spark.createDataFrame(
+        [(9, 0, 0, 10_000_000)], "id long, k long, s long, e long"))
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(wide, wide, "k", "s", "e", bucket_width=4,
+                      max_span_buckets=1000).collect()
 
 
 def test_asof_join_null_payload_not_resurrected(spark):
