@@ -1359,6 +1359,48 @@ FROM iv a JOIN iv b
 """
 
 
+def q_merge_intervals(spark, sf_dir):
+    """Interval coalescing (gaps-and-islands, one shuffle): each
+    user's overlapping activity windows fuse into maximal merged
+    intervals with a source-row count — the same integer epoch-second
+    derivation as q_interval_join, gap=120s so near-adjacent windows
+    sessionize.  Oracle: the identical running-max/island-sum window
+    chain in DuckDB (tie order on equal (s, e) is island-neutral, see
+    merge_intervals docstring)."""
+    from .operators.temporal import merge_intervals
+    iv = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), "user_id",
+        F.unix_timestamp("ts").alias("s"))
+    iv = iv.withColumn("e", F.col("s") + 600 + F.col("id") % 1800)
+    return merge_intervals(iv, "user_id", "s", "e", gap=120) \
+        .select("user_id", "m_start", "m_end", "n_merged")
+
+
+Q_MERGE_INTERVALS_SQL = """
+WITH iv AS (
+  SELECT event_id AS id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 + (event_id % 1800) AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS run_max
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN run_max IS NULL OR s > run_max + 120
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM m)
+SELECT user_id, MIN(s) AS m_start, MAX(e) AS m_end,
+       COUNT(*) AS n_merged
+FROM isl GROUP BY user_id, g
+"""
+
+
 def q_radius_join(spark, sf_dir):
     """Distance-range spatial join (all pairs within 2°) via ring-1
     cell equi-join + exact refine — no cross join."""
@@ -3049,6 +3091,7 @@ QUERIES = {
     "q_frame_sample": q_frame_sample,
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
+    "q_merge_intervals": q_merge_intervals,
     "q_radius_join": q_radius_join,
     "q_polygon_cover": q_polygon_cover,
     "q_abbrev_uk": q_abbrev_uk,
@@ -3135,6 +3178,7 @@ ORACLES = {
     "q_session_events": Q_SESSION_EVENTS_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,
     "q_interval_join": Q_INTERVAL_JOIN_SQL,
+    "q_merge_intervals": Q_MERGE_INTERVALS_SQL,
     "q_radius_join": Q_RADIUS_JOIN_SQL,
     "q_polygon_cover": Q_POLYGON_COVER_SQL,
     "q_abbrev_uk": Q_ABBREV_UK_SQL,

@@ -17,7 +17,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "merge_intervals"]
+
+
+def merge_intervals(df: DataFrame, key_col: str,
+                    start_col: str = "s", end_col: str = "e",
+                    gap: int = 0) -> DataFrame:
+    """Coalesce each key's CLOSED integer intervals into maximal merged
+    intervals; intervals that overlap or sit within ``gap`` of each
+    other fuse (``gap=0``: touching endpoints merge; sessionization is
+    ``gap=idle_timeout`` over instant events).
+
+    Classic gaps-and-islands, ONE shuffle on ``key_col``: a running
+    ``max(end)`` over strictly-preceding rows (ordered by start, end)
+    flags island starts (``start > run_max + gap``), a running sum
+    numbers the islands, and the final group-by aggregates each island
+    — ``HashPartitioning(key)`` from the window already satisfies the
+    ``(key, island)`` clustering, so the aggregation adds NO second
+    exchange (pinned by the plan test).  Ties on (start, end) are
+    order-insensitive: whichever duplicate sorts first opens the
+    island, the other lands in it — island contents and aggregates are
+    identical either way, so the result is deterministic across
+    engines.
+
+    Empty intervals (``start > end``) are dropped, matching
+    ``interval_join``.  Output: key, ``m_start``, ``m_end``,
+    ``n_merged`` (source-row count per merged interval).
+    """
+    if gap < 0:
+        raise ValueError(f"gap must be >= 0, got {gap}")
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(key_col).orderBy(s.asc(), e.asc())
+    run_max = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_start = F.when(run_max.isNull() | (s > run_max + gap),
+                      1).otherwise(0)
+    isl = (df.filter(s <= e)
+           .withColumn("_isl", F.sum(is_start).over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))))
+    return (isl.groupBy(key_col, "_isl")
+            .agg(F.min(s).alias("m_start"), F.max(e).alias("m_end"),
+                 F.count("*").alias("n_merged"))
+            .drop("_isl"))
 
 
 def interval_join(left: DataFrame, right: DataFrame, key_col: str,

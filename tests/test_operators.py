@@ -650,6 +650,38 @@ def test_interval_join_edges(spark):
                       max_span_buckets=1000).collect()
 
 
+def test_merge_intervals_matches_reference(spark):
+    """Randomized differential test vs a driver-side sweep merge,
+    including duplicate (s, e) rows, touching endpoints, gap>0, and
+    dropped empty intervals."""
+    import numpy as np
+    from osml10n_spark.operators.temporal import merge_intervals
+    rng = np.random.default_rng(41)
+    n = 400
+    s = rng.integers(-200, 800, n)
+    e = s + rng.integers(-5, 60, n)          # ~8% empty (s > e)
+    k = rng.integers(0, 5, n)
+    rows = [(int(k[i]), int(s[i]), int(e[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    for gap in (0, 7):
+        got = sorted((r.k, r.m_start, r.m_end, r.n_merged) for r in
+                     merge_intervals(df, "k", "s", "e", gap=gap).collect())
+        exp = []
+        for key in set(k for k, _, _ in rows):
+            ivs = sorted((s, e) for kk, s, e in rows if kk == key and s <= e)
+            cur = None
+            for s0, e0 in ivs:
+                if cur and s0 <= cur[1] + gap:
+                    cur = [cur[0], max(cur[1], e0), cur[2] + 1]
+                else:
+                    if cur:
+                        exp.append((key, *cur))
+                    cur = [s0, e0, 1]
+            if cur:
+                exp.append((key, *cur))
+        assert got == sorted(exp) and len(exp) > 5
+
+
 def test_asof_join_null_payload_not_resurrected(spark):
     """The matched right row's NULL payload must come through as NULL —
     not an older row's non-null value (atomic row carry)."""

@@ -270,6 +270,20 @@ def test_interval_join_is_equi_join(spark):
     assert python_eval_count(out) == 0
 
 
+def test_merge_intervals_single_exchange(spark):
+    """Gaps-and-islands must cost ONE shuffle: HashPartitioning(key)
+    from the island window already satisfies the (key, island)
+    clustering of the final aggregation, so a second exchange would be
+    a plan regression.  Also: no Python eval anywhere."""
+    from osml10n_spark.operators.temporal import merge_intervals
+    df = spark.createDataFrame([(i % 3, i * 5, i * 5 + 8)
+                                for i in range(60)],
+                               "k long, s long, e long")
+    out = merge_intervals(df, "k", "s", "e")
+    assert exchange_count(out) == 1
+    assert python_eval_count(out) == 0
+
+
 def test_headline_pipelines_compile_under_wholestage_codegen(spark):
     """No silent interpreted fallback on headline pipelines: with
     spark.sql.codegen.fallback=false a janino failure ("Code grows
