@@ -825,6 +825,37 @@ FROM s5 GROUP BY 1
 """
 
 
+def q_cell_density(spark, sf_dir):
+    """k-ring smoothed per-cell density (the skew/salting heat input):
+    convolution runs on the histogram, not the rows — scatter each
+    occupied cell's count to its ring (lon wraps, lat drops; exact
+    k_ring semantics) and sum per receiving cell.  Oracle re-derives
+    the same scatter with a generate_series offset cross join and the
+    shared morton spread chain."""
+    from .operators.spatial import cell_density
+    pts = _points(spark, sf_dir)
+    return cell_density(pts, res=6, k=2).select("cell_id", "density")
+
+
+Q_CELL_DENSITY_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (SELECT id,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS px,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS py
+  FROM pts),
+h AS (SELECT px, py, COUNT(*) AS n FROM g GROUP BY 1, 2),
+nb AS (
+  SELECT ((h.px + dx.v + 128) % 128) AS tx, h.py + dy.v AS ty, h.n
+  FROM h,
+       (SELECT unnest(generate_series(-2, 2)) AS v) dx,
+       (SELECT unnest(generate_series(-2, 2)) AS v) dy
+  WHERE h.py + dy.v BETWEEN 0 AND 63),
+a AS (SELECT tx, ty, CAST(SUM(n) AS BIGINT) AS density FROM nb GROUP BY 1, 2),
+{_spread_sql('a', 'tx', 'ty')}
+SELECT ((6::BIGINT << 58) | morton) AS cell_id, density FROM s5
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionAll(d.filter(F.col("doc_id") < 5))
@@ -3055,6 +3086,7 @@ QUERIES = {
     "q_knn_geo": q_knn_geo,
     "q_tile_assign": q_tile_assign,
     "q_cell_histogram": q_cell_histogram,
+    "q_cell_density": q_cell_density,
     "q_exact_dedup": q_exact_dedup,
     "q_minhash": q_minhash,
     "q_levenshtein_pairs": q_levenshtein_pairs,
@@ -3156,6 +3188,7 @@ ORACLES = {
     "q_knn_geo": Q_KNN_GEO_SQL,
     "q_tile_assign": Q_TILE_ASSIGN_SQL,
     "q_cell_histogram": Q_CELL_HISTOGRAM_SQL,
+    "q_cell_density": Q_CELL_DENSITY_SQL,
     "q_exact_dedup": Q_EXACT_DEDUP_SQL,
     "q_minhash": Q_MINHASH_SQL,
     "q_levenshtein_pairs": Q_LEVENSHTEIN_SQL,

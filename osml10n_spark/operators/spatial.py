@@ -773,6 +773,51 @@ def cell_histogram(df: DataFrame, cell_col: str = "cell_id") -> DataFrame:
         .orderBy(F.col("n_rows").desc())
 
 
+def cell_density(df: DataFrame, res: int = 7, k: int = 1,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """k-ring smoothed per-cell density: for every cell within
+    Chebyshev distance ``k`` of an occupied cell, the total row count
+    of its (2k+1)² neighborhood (lon wraps, lat rows outside the grid
+    drop — exact `cellindex.k_ring` semantics, so the ring relation is
+    symmetric and scatter ≡ gather).
+
+    The smoothing convolution runs on the HISTOGRAM, not the rows: one
+    shuffle aggregates rows to ≤ #occupied-cells counts, each count
+    scatters to its ring via the static-offset JVM explode (the
+    `_ring_cells_df` idiom — no Python, no join), and a second tiny
+    aggregation sums contributions per receiving cell.  At 100 TB the
+    expensive side is the first partial-aggregated histogram; the
+    explode touches only cells² ≪ rows.  Output: (cell_id, density) —
+    includes zero-occupancy cells that receive neighbor mass, which is
+    exactly what a salting/skew decision wants to see (a hot cell's
+    halo is hot for ring joins too).
+    """
+    from ..spatial.cellexpr import _RES_SHIFT, _compact, _spread
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    nx, ny = 2 ** (res + 1), 2 ** res
+    if 2 * k + 1 >= nx:
+        raise ValueError(f"ring k={k} wraps the whole globe at res={res}")
+    hist = (assign_cells(df, res, lon_col=lon_col, lat_col=lat_col)
+            .groupBy("cell_id").agg(F.count("*").alias("n")))
+    morton = F.col("cell_id").bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dy in range(-k, k + 1)
+                     for dx in range(-k, k + 1)])
+    e = (hist
+         .withColumn("cx", _compact(morton))
+         .withColumn("cy", _compact(F.shiftrightunsigned(morton, 1)))
+         .withColumn("o", F.explode(offs))
+         .withColumn("n_y", F.col("cy") + F.col("o.dy"))
+         .filter((F.col("n_y") >= 0) & (F.col("n_y") < ny))
+         .withColumn("n_x", F.pmod(F.col("cx") + F.col("o.dx"), F.lit(nx))))
+    n_cell = F.lit(res << _RES_SHIFT).bitwiseOR(
+        _spread(F.col("n_x")).bitwiseOR(
+            F.shiftleft(_spread(F.col("n_y")), 1))).cast("long")
+    return (e.select(n_cell.alias("cell_id"), "n")
+            .groupBy("cell_id").agg(F.sum("n").alias("density")))
+
+
 def salted_key(df: DataFrame, key_col: str, buckets: int,
                out_col: str = "salted_key") -> DataFrame:
     """Deterministic salt derived from a stable row hash — spreads a hot

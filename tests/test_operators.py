@@ -650,6 +650,35 @@ def test_interval_join_edges(spark):
                       max_span_buckets=1000).collect()
 
 
+def test_cell_density_matches_bruteforce(spark):
+    """Scatter-on-histogram k-ring density == per-cell brute-force
+    gather, including lon wrap at the antimeridian and lat-edge drop."""
+    import numpy as np
+    from osml10n_spark.operators.spatial import assign_cells, cell_density
+    from osml10n_spark.spatial.cellindex import k_ring
+    res, k = 5, 2
+    rng = np.random.default_rng(31)
+    lon = np.concatenate([rng.uniform(-180, 180, 300),
+                          rng.uniform(179, 180, 30),     # wrap band
+                          rng.uniform(-90, -89.3, 30)])  # lat edge band
+    lat = np.concatenate([rng.uniform(-90, 90, 300),
+                          rng.uniform(-10, 10, 30),
+                          rng.uniform(-90, -89.5, 30)])
+    df = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(len(lon))],
+        "id long, lon double, lat double")
+    got = {r.cell_id: r.density for r in
+           cell_density(df, res=res, k=k).collect()}
+    cells = [r.cell_id for r in assign_cells(df, res).collect()]
+    from collections import Counter
+    counts = Counter(cells)
+    exp: Counter = Counter()
+    for c, n in counts.items():            # scatter reference via k_ring
+        for nb in k_ring(c, k):
+            exp[int(nb)] += n
+    assert got == dict(exp) and len(got) > len(counts)
+
+
 def test_merge_intervals_matches_reference(spark):
     """Randomized differential test vs a driver-side sweep merge,
     including duplicate (s, e) rows, touching endpoints, gap>0, and

@@ -270,6 +270,25 @@ def test_interval_join_is_equi_join(spark):
     assert python_eval_count(out) == 0
 
 
+def test_cell_density_is_histogram_convolution(spark):
+    """The smoothing must run on the histogram, not the rows: plan is
+    two aggregations with the static-offset explode between them — NO
+    join of any kind, no Python eval (the heavy side is the one
+    partial-aggregated histogram shuffle; the explode touches only
+    occupied cells)."""
+    from osml10n_spark.operators.spatial import cell_density
+    from osml10n_spark.plans.inspect import physical_plan
+    df = spark.createDataFrame([(i, float(i % 17) * 3 - 20.0,
+                                 float(i % 11) * 4 - 20.0)
+                                for i in range(200)],
+                               "id long, lon double, lat double")
+    out = cell_density(df, res=6, k=1)
+    plan = physical_plan(out, mode="simple")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert python_eval_count(out) == 0
+    assert exchange_count(out) == 2     # row→hist + hist→density aggs
+
+
 def test_merge_intervals_single_exchange(spark):
     """Gaps-and-islands must cost ONE shuffle: HashPartitioning(key)
     from the island window already satisfies the (key, island)
