@@ -564,46 +564,63 @@ def _knn_core(queries: DataFrame, items: DataFrame, k: int, res: int,
     return results
 
 
-def _ring_cells_df(pending: DataFrame, res: int,
-                   max_ring: int | None = None) -> DataFrame:
-    """Explode each pending query into the neighbor cell ids of its own
-    (per-row) ring radius — Chebyshev, lon wraps, lat clamps
-    (cellindex.k_ring parity; property-tested).
+def _explode_neighbor_cells(df: DataFrame, cell_col: str, res: int,
+                            max_ring: int,
+                            ring_col: str | None = None) -> DataFrame:
+    """Shared static-offset k-ring explode: append ``n_cell`` rows for
+    every cell within Chebyshev distance ``max_ring`` of ``cell_col``
+    — lon wraps (pmod), lat rows outside the grid drop
+    (cellindex.k_ring parity; property-tested).  With ``ring_col``,
+    each row is trimmed to its own per-row radius ≤ ``max_ring``.
 
     Physical shape: a STATIC literal (2R+1)² offset array explode with
     flat post-explode bit math — pure JVM whole-stage codegen, zero
     Python/Arrow crossing (HOF-lambda formulations of the same ring
     fall into Catalyst's interpreted path at ~40 ms/row; a pandas UDF
-    pays a per-row Python loop that caps throughput at scale).  Per-row
-    rings smaller than R are trimmed by a filter.  The numpy fallback
-    only fires when 2R+1 ≥ nx (a ring that wraps the whole globe —
-    coarse res with huge radius), where wrap-around would duplicate
-    neighbor cells."""
+    pays a per-row Python loop that caps throughput at scale).  The
+    ONE shared implementation backs both the kNN candidate fan-out
+    (`_ring_cells_df`) and the density convolution (`cell_density`) —
+    any fix to the wrap/trim/repack bit math lands in both."""
     from ..spatial.cellexpr import _RES_SHIFT, _compact, _spread
 
     nx, ny = 2 ** (res + 1), 2 ** res
-    if max_ring is None:
-        max_ring = pending.agg(F.max("ring")).collect()[0][0] or 1
-    if 2 * max_ring + 1 >= nx:
-        return _ring_cells_py(pending)
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dy in range(-max_ring, max_ring + 1)
                      for dx in range(-max_ring, max_ring + 1)])
-    morton = F.col("q_cell").bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
-    e = (pending
-         .withColumn("qx", _compact(morton))
-         .withColumn("qy", _compact(F.shiftrightunsigned(morton, 1)))
-         .withColumn("o", F.explode(offs))
-         .filter((F.abs(F.col("o.dx")) <= F.col("ring"))
-                 & (F.abs(F.col("o.dy")) <= F.col("ring")))
-         .withColumn("n_y", F.col("qy") + F.col("o.dy"))
+    morton = F.col(cell_col).bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    e = (df
+         .withColumn("_nbx", _compact(morton))
+         .withColumn("_nby", _compact(F.shiftrightunsigned(morton, 1)))
+         .withColumn("o", F.explode(offs)))
+    if ring_col is not None:
+        e = e.filter((F.abs(F.col("o.dx")) <= F.col(ring_col))
+                     & (F.abs(F.col("o.dy")) <= F.col(ring_col)))
+    e = (e.withColumn("n_y", F.col("_nby") + F.col("o.dy"))
          .filter((F.col("n_y") >= 0) & (F.col("n_y") < ny))
-         .withColumn("n_x", F.pmod(F.col("qx") + F.col("o.dx"), F.lit(nx))))
+         .withColumn("n_x", F.pmod(F.col("_nbx") + F.col("o.dx"),
+                                   F.lit(nx))))
     n_cell = F.lit(res << _RES_SHIFT).bitwiseOR(
         _spread(F.col("n_x")).bitwiseOR(
             F.shiftleft(_spread(F.col("n_y")), 1))).cast("long")
     return (e.withColumn("n_cell", n_cell)
-            .select("qid", "q_lon", "q_lat", "ring", "n_cell"))
+            .drop("_nbx", "_nby", "o", "n_y", "n_x"))
+
+
+def _ring_cells_df(pending: DataFrame, res: int,
+                   max_ring: int | None = None) -> DataFrame:
+    """Explode each pending query into the neighbor cell ids of its own
+    (per-row) ring radius — the `_explode_neighbor_cells` chain with
+    per-row trimming.  The numpy fallback only fires when 2R+1 ≥ nx (a
+    ring that wraps the whole globe — coarse res with huge radius),
+    where wrap-around would duplicate neighbor cells."""
+    nx = 2 ** (res + 1)
+    if max_ring is None:
+        max_ring = pending.agg(F.max("ring")).collect()[0][0] or 1
+    if 2 * max_ring + 1 >= nx:
+        return _ring_cells_py(pending)
+    return _explode_neighbor_cells(pending, "q_cell", res, max_ring,
+                                   ring_col="ring") \
+        .select("qid", "q_lon", "q_lat", "ring", "n_cell")
 
 
 def _ring_cells_py(pending: DataFrame) -> DataFrame:
@@ -792,29 +809,14 @@ def cell_density(df: DataFrame, res: int = 7, k: int = 1,
     exactly what a salting/skew decision wants to see (a hot cell's
     halo is hot for ring joins too).
     """
-    from ..spatial.cellexpr import _RES_SHIFT, _compact, _spread
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    nx, ny = 2 ** (res + 1), 2 ** res
-    if 2 * k + 1 >= nx:
+    if 2 * k + 1 >= 2 ** (res + 1):
         raise ValueError(f"ring k={k} wraps the whole globe at res={res}")
     hist = (assign_cells(df, res, lon_col=lon_col, lat_col=lat_col)
             .groupBy("cell_id").agg(F.count("*").alias("n")))
-    morton = F.col("cell_id").bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
-    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                     for dy in range(-k, k + 1)
-                     for dx in range(-k, k + 1)])
-    e = (hist
-         .withColumn("cx", _compact(morton))
-         .withColumn("cy", _compact(F.shiftrightunsigned(morton, 1)))
-         .withColumn("o", F.explode(offs))
-         .withColumn("n_y", F.col("cy") + F.col("o.dy"))
-         .filter((F.col("n_y") >= 0) & (F.col("n_y") < ny))
-         .withColumn("n_x", F.pmod(F.col("cx") + F.col("o.dx"), F.lit(nx))))
-    n_cell = F.lit(res << _RES_SHIFT).bitwiseOR(
-        _spread(F.col("n_x")).bitwiseOR(
-            F.shiftleft(_spread(F.col("n_y")), 1))).cast("long")
-    return (e.select(n_cell.alias("cell_id"), "n")
+    return (_explode_neighbor_cells(hist, "cell_id", res, k)
+            .select(F.col("n_cell").alias("cell_id"), "n")
             .groupBy("cell_id").agg(F.sum("n").alias("density")))
 
 
